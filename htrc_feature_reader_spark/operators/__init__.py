@@ -1,0 +1,13 @@
+from .tokenlist import (  # noqa: F401
+    fold_tokenlist,
+    distinct_tokens,
+    term_volume_freqs,
+    term_page_freqs,
+    tokens_per_page,
+)
+from .linechars import fold_linechars  # noqa: F401
+from .sections import fold_section_features  # noqa: F401
+from .chunking import chunk_ends, chunk_even, chunk_last, chunked_tokenlist  # noqa: F401
+from .asof import asof_join  # noqa: F401
+from .windows import with_lag_lead, forward_fill, backward_fill, sessionize  # noqa: F401
+from .features import build_pit_features  # noqa: F401

@@ -1,0 +1,184 @@
+"""Distributed point-in-time (as-of) join.
+
+The reference has no temporal joins (its only joins are tiny index-aligned
+equi joins, feature_reader.py:755-767); this operator is the north-rule
+extension (BASELINE.json): for every probe row (key, ts) attach the most
+recent build-side row with build.ts <= probe.ts (direction='backward';
+'forward' mirrors). Zero temporal leakage by construction.
+
+Two physical strategies, same semantics:
+
+- ``union`` (default, pure Catalyst): tag build rows 0 / probe rows 1,
+  union, then ``last(value, ignorenulls)`` over a window partitioned by key
+  and ordered by (ts, tag) with an unbounded-preceding row frame; keep probe
+  rows. One shuffle, no UDF, whole-stage codegen. This is the strategy that
+  scales: the window is a single sort per partition, AQE handles partition
+  sizing, and hot keys are handled by **salting** — probe rows scatter over
+  ``salt`` buckets while the build side is *replicated* into every bucket,
+  so each replica still sees the full ordered build timeline (never split
+  the timeline mid-window: that would leak or drop matches).
+
+- ``merge`` (grouped-map Arrow UDF): per-key ``pandas.merge_asof``. Kept
+  for parity testing and for options Catalyst can't express cheaply
+  (nearest-direction). Per-group state is one doc's rows — small and
+  balanced after the corpus-wide groupBy.
+
+Tolerance: rows whose matched build ts is further than ``tolerance``
+seconds in the past yield nulls (merge_asof semantics).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import ts_seconds
+
+
+def _salted(probe: DataFrame, build: DataFrame, keys: list[str], salt: int):
+    """Scatter probe rows across ``salt`` buckets; replicate build into all."""
+    probe = probe.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salt)).cast("int")
+    )
+    build = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return probe, build, keys + ["__salt"]
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | list[str] = "doc_id",
+    ts: str = "ts",
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    strategy: str = "union",
+    salt: int | None = None,
+    matched_ts: bool = False,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """As-of join ``build``'s latest values onto ``probe`` rows.
+
+    Returns probe columns + one column per build value column (named as in
+    build; rename upstream on clashes) + optionally ``__matched_ts``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if value_cols is None:
+        value_cols = [c for c in build.columns if c not in keys + [ts]]
+    clash = set(value_cols) & set(probe.columns)
+    if clash:
+        raise ValueError(f"value columns clash with probe columns: {sorted(clash)}")
+
+    if strategy == "merge":
+        return _asof_merge(probe, build, keys, ts, value_cols, direction,
+                           tolerance_s, matched_ts, allow_exact_matches)
+    if strategy != "union":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    if salt and salt > 1:
+        probe, build, keys = _salted(probe, build, keys, salt)
+
+    probe_cols = [c for c in probe.columns if c != "__salt"]
+    # build rows carry values, probe rows carry nulls (to be filled by the
+    # window); probe payload rides along nulled on build rows.
+    b = build.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(f"__p_{c}") for c in probe_cols],
+    )
+    p = probe.select(
+        *keys,
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(build.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(c).alias(f"__p_{c}") for c in probe_cols],
+    )
+    both = b.unionByName(p)
+
+    if direction == "backward":
+        order = [F.col("__ts").asc(), F.col("__tag").asc() if allow_exact_matches else F.col("__tag").desc()]
+    else:
+        order = [F.col("__ts").desc(), F.col("__tag").asc() if allow_exact_matches else F.col("__tag").desc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = both.select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols],
+        F.last(F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__matched_ts"),
+    ).filter(F.col("__tag") == 1)
+
+    if tolerance_s is not None:
+        delta = F.abs(ts_seconds(F.col("__ts")) - ts_seconds(F.col("__matched_ts")))
+        in_tol = F.col("__matched_ts").isNotNull() & (delta <= F.lit(float(tolerance_s)))
+        filled = filled.select(
+            "*",
+            *[
+                F.when(in_tol, F.col(f"__f_{c}")).alias(f"__t_{c}")
+                for c in value_cols
+            ],
+            F.when(in_tol, F.col("__matched_ts")).alias("__matched_ts_tol"),
+        )
+        fill_src, mts = "__t_", "__matched_ts_tol"
+    else:
+        fill_src, mts = "__f_", "__matched_ts"
+
+    out_cols = [F.col(f"__p_{c}").alias(c) for c in probe_cols]
+    out_cols += [F.col(f"{fill_src}{c}").alias(c) for c in value_cols]
+    if matched_ts:
+        out_cols.append(F.col(mts).alias("__matched_ts"))
+    return filled.select(*out_cols)
+
+
+def _asof_merge(probe, build, keys, ts, value_cols, direction, tolerance_s,
+                matched_ts, allow_exact_matches):
+    """Grouped-map formulation: per-key pandas.merge_asof (Arrow batches)."""
+    probe_cols = probe.columns
+    p = probe.select(*probe_cols, F.lit(1).alias("__side"))
+    b = build.select(
+        *keys, F.col(ts),
+        *[F.col(c) for c in value_cols],
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(probe.schema[c].dataType).alias(c)
+            for c in probe_cols
+            if c not in keys + [ts]
+        ],
+    )
+    both = p.unionByName(b, allowMissingColumns=True)
+
+    out_fields = [probe.schema[c] for c in probe_cols] + [build.schema[c] for c in value_cols]
+    from pyspark.sql.types import StructType, StructField, TimestampType
+
+    out_schema = StructType(list(out_fields) + ([StructField("__matched_ts", TimestampType())] if matched_ts else []))
+
+    tol = pd.Timedelta(seconds=tolerance_s) if tolerance_s is not None else None
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["__side"] == 1].sort_values(ts, kind="mergesort")
+        right = pdf[pdf["__side"] == 0][keys + [ts] + value_cols].sort_values(ts, kind="mergesort")
+        if matched_ts:
+            right = right.assign(__matched_ts=right[ts])
+        merged = pd.merge_asof(
+            left[probe_cols],
+            right.drop(columns=keys),
+            on=ts,
+            direction=direction,
+            tolerance=tol,
+            allow_exact_matches=allow_exact_matches,
+        )
+        return merged
+
+    return both.groupBy(*keys).applyInPandas(merge_group, schema=out_schema)

@@ -1,0 +1,203 @@
+"""Size-targeted page chunking (operators W1/A9/A10, joins J1/J2).
+
+Semantics replicated from the reference's chunking layer
+(/root/reference/htrc_features/transformations.py:47-156 and the driver
+``Volume._chunked_tokenlist`` at feature_reader.py:735-770): greedily
+partition a document's per-page word counts into contiguous chunks of
+roughly ``chunk_target`` words, with three overflow strategies:
+
+- ``ends``  — first/last chunks absorb the slack (books' messy ends), the
+  interior stays near target ("mids" rebalancing after the first pass);
+- ``even``  — slack spread across all chunks every pass;
+- ``last``  — every chunk hits target, the final chunk takes all slack.
+
+The scan is inherently sequential *within* a document (each break depends
+on the running cumulative sum from both ends) but embarrassingly parallel
+*across* documents — exactly the shape ``groupBy(doc).applyInPandas`` is
+for. The per-group input is one row per page (tiny: thousands of rows max
+per doc), so the Python-side work is negligible; the heavy token table is
+never shipped to Python — only the (doc, page) -> chunk label map comes
+back, and it joins onto the fact table JVM-side (broadcast when small).
+
+Parity notes (tested against the reference's published goldens,
+tests/test_chunking.py:29-77 and the 12-chunk green-gables run):
+the label array is the cumulative sum of break flags, labels start at 1,
+and the quirky details — signed overflow nearest zero, per-pass overflow
+share 2/chunks_remaining, the <2.5x-target midpoint split, the
+same-chunk-from-both-ends clamp — are reproduced exactly. The reference's
+``np.int`` crash on numpy>=1.24 (transformations.py:77) is fixed, not
+replicated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .tokenlist import _page_colname, fold_tokenlist
+
+_MAX_PASSES = 10_000
+
+
+def _label_chunks(counts: np.ndarray, target: int, *, balance, two_sided: bool,
+                  defer: bool) -> np.ndarray:
+    """Break a 1-D array of per-page word counts into chunk labels.
+
+    ``balance``: True (every pass), "mids" (from the second pass on), or
+    False. ``two_sided``: consume from both ends toward the middle.
+    ``defer``: never rebalance (all slack lands in the final chunk).
+    Returns int labels (1-based, contiguous), one per page.
+    """
+    if target <= 0:
+        raise ValueError("chunk target must be positive")
+    n = len(counts)
+    marks = np.zeros(n, dtype=np.int64)
+    if n:
+        marks[0] = 1
+    lo, hi = 0, n
+    passes = 0
+
+    while lo != hi:
+        passes += 1
+        if passes > _MAX_PASSES:
+            raise OverflowError("chunking failed to converge")
+
+        live = counts[lo:hi]
+        fwd = np.cumsum(live)
+        remaining = int(fwd[-1])
+        if remaining < target * 1.5:
+            break  # tail merges into the open front chunk
+
+        # signed slack, whichever of (+r, r-target) is nearer zero
+        slack = remaining % target
+        if (target - slack) < slack:
+            slack = slack - target
+        if balance is True or (balance == "mids" and passes > 1):
+            n_chunks = np.round(remaining / target)
+            if two_sided and n_chunks > 2:
+                slack = slack * 2 / n_chunks
+            elif (not two_sided) and n_chunks > 1:
+                slack = slack / n_chunks
+        local_target = target + (slack / 2 if two_sided else slack)
+        if defer:
+            local_target = target
+
+        if two_sided and remaining < target * 2.5:
+            # two chunks left: split nearest the midpoint and stop
+            mid = int(np.argmin(np.abs(fwd - remaining / 2)))
+            if lo + mid + 1 < n:
+                marks[lo + mid + 1] = 1
+            break
+
+        step = int(np.argmin(np.abs(fwd - local_target)))
+        lo = lo + step + 1
+        if lo >= n:
+            break  # last page bigger than the window — nothing left to mark
+        marks[lo] = 1
+
+        if two_sided:
+            bwd = np.cumsum(live[::-1])
+            back = int(np.argmin(np.abs(bwd - local_target)))
+            hi = hi - back - 1
+            marks[hi] = 1
+            if lo > hi:
+                hi = lo  # both ends claimed the same middle — stop next pass
+
+    return np.cumsum(marks)
+
+
+def chunk_ends(page_counts, target: int) -> np.ndarray:
+    """'ends' strategy: messy first/last chunks, near-target interior."""
+    return _label_chunks(np.asarray(page_counts), target, balance="mids",
+                         two_sided=True, defer=False)
+
+
+def chunk_even(page_counts, target: int) -> np.ndarray:
+    """'even' strategy: slack spread across all chunks."""
+    return _label_chunks(np.asarray(page_counts), target, balance=True,
+                         two_sided=True, defer=False)
+
+
+def chunk_last(page_counts, target: int) -> np.ndarray:
+    """'last' strategy: exact chunks, the final one takes the slack."""
+    return _label_chunks(np.asarray(page_counts), target, balance=False,
+                         two_sided=False, defer=True)
+
+
+_STRATEGIES = {"ends": chunk_ends, "even": chunk_even, "last": chunk_last}
+
+
+def chunk_labels(
+    page_counts: DataFrame,
+    chunk_target: int = 10_000,
+    overflow_strategy: str = "ends",
+    doc_col: str = "htid",
+    page_col: str = "page",
+) -> DataFrame:
+    """(doc, page, count) -> (doc, page, chunk) label map, distributed.
+
+    One ``applyInPandas`` group per document; per-group state is one int per
+    page. With millions of documents this parallelizes across all executors
+    and no group is large — the skew-free shape the north rule asks for.
+    """
+    if overflow_strategy not in _STRATEGIES:
+        raise ValueError(f"unknown overflow strategy {overflow_strategy!r}")
+    fn = _STRATEGIES[overflow_strategy]
+
+    def label_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(page_col)
+        labs = fn(pdf["count"].to_numpy(), chunk_target)
+        return pd.DataFrame(
+            {
+                doc_col: pdf[doc_col].to_numpy(),
+                page_col: pdf[page_col].to_numpy(),
+                "chunk": labs.astype("int64"),
+            }
+        )
+
+    out_schema = f"{doc_col} string, {page_col} long, chunk long"
+    return page_counts.groupBy(doc_col).applyInPandas(label_group, schema=out_schema)
+
+
+def chunked_tokenlist(
+    df: DataFrame,
+    chunk_target: int = 10_000,
+    overflow_strategy: str = "ends",
+    page_ref: bool = False,
+    doc_col: str = "htid",
+    broadcast_labels: bool = True,
+    **fold_kwargs,
+) -> DataFrame:
+    """Tokenlist folded by chunk instead of page (reference
+    feature_reader.py:735-770; operators A9/A10 + joins J1/J2).
+
+    1. fold with pages kept (chunking needs per-page counts),
+    2. per-doc chunk labels via the sequential algorithm,
+    3. equi-join labels back (broadcast — the label map is tiny),
+    4. regroup by chunk; optionally attach per-chunk (pstart, pend).
+    """
+    fold_kwargs["pages"] = True
+    fold_kwargs.setdefault("section", "all")
+    tl = fold_tokenlist(df, doc_col=doc_col, **fold_kwargs)
+    pagecol = _page_colname(tl)
+
+    page_counts = tl.groupBy(doc_col, pagecol).agg(F.sum("count").alias("count"))
+    labels = chunk_labels(
+        page_counts, chunk_target, overflow_strategy, doc_col=doc_col, page_col=pagecol
+    )
+    if broadcast_labels:
+        labels = F.broadcast(labels)
+
+    with_chunks = tl.join(labels, on=[doc_col, pagecol])
+    regroup = [c for c in with_chunks.columns if c not in (pagecol, "count", "chunk")]
+    out = with_chunks.groupBy(*regroup, "chunk").agg(F.sum("count").alias("count"))
+
+    if page_ref:
+        bounds = (
+            with_chunks.groupBy(doc_col, "chunk")
+            .agg(F.min(pagecol).alias("pstart"), F.max(pagecol).alias("pend"))
+        )
+        out = out.join(F.broadcast(bounds), on=[doc_col, "chunk"])
+    return out

@@ -1,0 +1,53 @@
+"""SparkSession builder tuned for this engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the
+same conf block is what we'd ship to ``spark-submit`` on a real cluster —
+AQE on (runtime re-plan + skew-join splitting), Arrow on (every pandas UDF
+crosses via Arrow batches), shuffle partitions sized to parallelism rather
+than the 200 default, UTC session timezone so timestamp semantics match the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "htrc-feature-reader-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard conf.
+
+    ``cores`` pins ``local[N]`` explicitly — used by the two-parallelism
+    scaling benchmark (BASELINE.md protocol: N vs 4N cores on identical
+    input). Shuffle partitions default to 2x cores: enough tasks for AQE to
+    coalesce, few enough to avoid tiny-task overhead at local scale. On a
+    real cluster AQE re-sizes these at runtime anyway.
+    """
+    n = cores if cores is not None else int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuf = shuffle_partitions if shuffle_partitions is not None else max(2 * n, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuf))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,148 @@
+"""Temporal layer: as-of join (both strategies, salted and not) vs a pandas
+merge_asof oracle; fills; sessionization; zero-leakage adversarial test
+(FIXTURES.md golden invariant 6)."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from htrc_feature_reader_spark.operators import (
+    asof_join,
+    backward_fill,
+    forward_fill,
+    sessionize,
+    with_lag_lead,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def ts(mins):
+    return T0 + dt.timedelta(minutes=mins)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    build_rows = [
+        ("a", ts(0), 1.0), ("a", ts(10), 2.0), ("a", ts(20), 3.0),
+        ("b", ts(5), 10.0), ("b", ts(50), 20.0),
+        ("c", ts(100), 99.0),
+    ]
+    probe_rows = [
+        ("a", ts(0)), ("a", ts(5)), ("a", ts(10)), ("a", ts(15)), ("a", ts(25)),
+        ("b", ts(0)), ("b", ts(5)), ("b", ts(49)), ("b", ts(51)),
+        ("c", ts(99)), ("d", ts(1)),
+    ]
+    build = spark.createDataFrame(build_rows, "key string, ts timestamp, val double")
+    probe = spark.createDataFrame(probe_rows, "key string, ts timestamp")
+    return probe, build
+
+
+def _pandas_oracle(probe, build, **kw):
+    p = probe.toPandas().sort_values("ts", kind="mergesort")
+    b = build.toPandas().sort_values("ts", kind="mergesort")
+    return pd.merge_asof(p, b, on="ts", by="key", **kw).sort_values(
+        ["key", "ts"]
+    ).reset_index(drop=True)
+
+
+def _collect_sorted(df):
+    return (
+        df.toPandas().sort_values(["key", "ts"]).reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("strategy", ["union", "merge"])
+@pytest.mark.parametrize("salt", [None, 4])
+def test_asof_backward_matches_merge_asof(asof_frames, strategy, salt):
+    if strategy == "merge" and salt:
+        pytest.skip("salt applies to the union strategy")
+    probe, build = asof_frames
+    got = _collect_sorted(
+        asof_join(probe, build, on="key", ts="ts", strategy=strategy, salt=salt)
+    )
+    expect = _pandas_oracle(probe, build)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_asof_forward(asof_frames):
+    probe, build = asof_frames
+    got = _collect_sorted(asof_join(probe, build, on="key", ts="ts", direction="forward"))
+    expect = _pandas_oracle(probe, build, direction="forward")
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_asof_tolerance(asof_frames):
+    probe, build = asof_frames
+    got = _collect_sorted(
+        asof_join(probe, build, on="key", ts="ts", tolerance_s=300)
+    )
+    expect = _pandas_oracle(probe, build, tolerance=pd.Timedelta(seconds=300))
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_asof_no_exact_matches(asof_frames):
+    probe, build = asof_frames
+    got = _collect_sorted(
+        asof_join(probe, build, on="key", ts="ts", allow_exact_matches=False)
+    )
+    expect = _pandas_oracle(probe, build, allow_exact_matches=False)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_asof_zero_leakage_adversarial(spark):
+    """Rows 1s *after* each probe ts must never influence the result
+    (FIXTURES.md invariant 6)."""
+    build = spark.createDataFrame(
+        [("k", ts(10), 1.0)], "key string, ts timestamp, val double"
+    )
+    # adversarial build rows strictly in the future of every probe
+    poisoned = build.unionByName(
+        spark.createDataFrame(
+            [("k", ts(15) + dt.timedelta(seconds=1), 666.0),
+             ("k", ts(16), 777.0)],
+            "key string, ts timestamp, val double",
+        )
+    )
+    probe = spark.createDataFrame(
+        [("k", ts(10)), ("k", ts(15))], "key string, ts timestamp"
+    )
+    clean = _collect_sorted(asof_join(probe, build, on="key", ts="ts"))
+    dirty = _collect_sorted(asof_join(probe, poisoned, on="key", ts="ts"))
+    pd.testing.assert_frame_equal(clean, dirty)
+    assert (dirty["val"] == 1.0).all()
+
+
+def test_forward_backward_fill(spark):
+    df = spark.createDataFrame(
+        [
+            ("k", ts(0), None), ("k", ts(1), 5.0), ("k", ts(2), None),
+            ("k", ts(3), None), ("k", ts(4), 7.0), ("k", ts(5), None),
+        ],
+        "key string, ts timestamp, v double",
+    )
+    ff = forward_fill(df, ["v"], key="key").orderBy("ts").collect()
+    assert [r["v"] for r in ff] == [None, 5.0, 5.0, 5.0, 7.0, 7.0]
+    bf = backward_fill(df, ["v"], key="key").orderBy("ts").collect()
+    assert [r["v"] for r in bf] == [5.0, 5.0, 7.0, 7.0, 7.0, None]
+
+
+def test_lag_lead(spark):
+    df = spark.createDataFrame(
+        [("k", ts(i), float(i)) for i in range(4)], "key string, ts timestamp, v double"
+    )
+    out = with_lag_lead(df, ["v"], key="key").orderBy("ts").collect()
+    assert [r["v_lag1"] for r in out] == [None, 0.0, 1.0, 2.0]
+    assert [r["v_lead1"] for r in out] == [1.0, 2.0, 3.0, None]
+
+
+def test_sessionize(spark):
+    rows = [("k", ts(m)) for m in (0, 1, 2, 60, 61, 200)] + [("j", ts(0))]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = sessionize(df, key="key", ts="ts", gap_s=600).collect()
+    k = sorted([(r["ts"], r["session_id"]) for r in out if r["key"] == "k"])
+    assert [s for _, s in k] == [1, 1, 1, 2, 2, 3]
+    j = [r["session_id"] for r in out if r["key"] == "j"]
+    assert j == [1]
