@@ -1,38 +1,828 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(or a north-rule / training-data extension) over the driver's parquet
+tables; ``oracle_sql()`` holds the equivalent DuckDB SQL. Column names and
+types are aligned on both sides; float outputs are either pass-through
+(bit-identical) or derived from exact integer/decimal arithmetic so the
+order-insensitive value hash matches deterministically.
+
+The documents-derived token table stands in for the reference's tokenlist
+fact table: tokens = text split on spaces, page = 1 + position // 40 —
+both engines derive it identically, so the fold-family queries are checked
+cell-for-cell.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from htrc_feature_reader_spark.functions import ts_seconds
+from htrc_feature_reader_spark.operators import (
+    asof_join,
+    build_pit_features,
+    cosine_topk,
+    distinct_tokens,
+    exact_duplicates,
+    fold_tokenlist,
+    forward_fill,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    sessionize,
+    shingle_ids,
+    simhash,
+    term_page_freqs,
+    tokens_per_page,
+    word_shingles,
+)
+from htrc_feature_reader_spark.operators.text import (
+    BPE_ISH_PATTERN,
+    normalized_fingerprint,
+    quality_features,
+)
+
+# ---------------------------------------------------------------------------
+# helpers
+
+PAGE_SIZE = 40  # tokens per synthetic "page" of a document
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> long token-occurrence table (doc_id, page, token, count=1).
+
+    The engine's tokenlist-shaped fact table (SURVEY.md §1.1) derived
+    identically on the DuckDB side (see _SQL_TOKENS)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    ).select(
+        "doc_id",
+        (F.floor(F.col("pos") / PAGE_SIZE) + 1).alias("page"),
+        "token",
+        F.lit(1).cast("long").alias("count"),
+    )
+
+
+_SQL_TOKENS = f"""
+  SELECT doc_id,
+         CAST(((ord - 1) // {PAGE_SIZE}) + 1 AS BIGINT) AS page,
+         tok AS token
+  FROM (SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS ord
+        FROM documents)
+"""
+
+# deterministic MinHash / SimHash constants (must match
+# operators/dedup.py:minhash_signatures / simhash with seed=42)
+_MH_P = (1 << 31) - 1
+_MH_SEED = 42
+_MH_N = 8
+_MH_COEF = [
+    (2 * ((_MH_SEED * 1_000_003 + i * 7_919) % (_MH_P // 2)) + 1,
+     (_MH_SEED * 104_729 + i * 52_361) % _MH_P)
+    for i in range(_MH_N)
+]
+_SH_BITS = 16
+_SH_A = 2 * ((_MH_SEED * 2_654_435_761) % (1 << 30)) + 1
+_SH_B = _MH_SEED * 97 + 13
+
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, greatest(len(l) - 2, 0)),
+                               i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+"""
+
+# sequences derived deterministically from events (north-rule input shape;
+# same arithmetic on both engines — exact int64)
+_SEQ_MULT = 2_654_435_761
+_SEQ_STEP = 40_503
+_SEQ_VOCAB = 50_000
+
+_SQL_SEQUENCES = f"""
+  SELECT CAST(user_id % 50 AS BIGINT) AS doc_key,
+         ts,
+         event_id,
+         CAST(1 + event_id % 32 AS BIGINT) AS n_tok,
+         CAST(list_sum(list_transform(range(0, 1 + event_id % 32),
+              i -> (event_id * {_SEQ_MULT} + i * {_SEQ_STEP}) % {_SEQ_VOCAB})) AS BIGINT) AS sum_tok,
+         event_type AS source
+  FROM events
+"""
+
+
+def _sequences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    n_tok = (F.lit(1) + F.pmod(F.col("event_id"), F.lit(32))).cast("long")
+    tokens = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_tok - 1),
+        lambda i: F.pmod(
+            F.col("event_id") * F.lit(_SEQ_MULT) + i * F.lit(_SEQ_STEP),
+            F.lit(_SEQ_VOCAB),
+        ),
+    )
+    return ev.select(
+        F.pmod(F.col("user_id"), F.lit(50)).cast("long").alias("doc_key"),
+        "ts",
+        "event_id",
+        tokens.alias("tokens"),
+        n_tok.alias("n_tok"),
+        F.col("event_type").alias("source"),
+    )
+
+
+def _pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seqs = _sequences_from_events(spark, sf_dir)
+    return build_pit_features(
+        seqs, doc_col="doc_key", ts_col="ts", session_gap_s=3600.0,
+        tiebreak=["event_id"],
+    )
+
+
+def _dec(col, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# A. tokenlist fold family (reference operators A1-A8, F1-F6, R1, W2)
+
+
+def q_tokenlist_fold(spark, sf_dir):
+    """A1: fold to (doc, page, token) counts."""
+    tl = _doc_tokens(spark, sf_dir)
+    out = fold_tokenlist(tl, pages=True, section="group", case=True, pos=False,
+                         doc_col="doc_id")
+    return out.select("doc_id", "page", "token", F.col("count").alias("cnt"))
+
+
+def q_tokenlist_volume(spark, sf_dir):
+    """A1 pages=False: per-document token counts."""
+    tl = _doc_tokens(spark, sf_dir)
+    out = fold_tokenlist(tl, pages=False, section="group", case=True, pos=False,
+                         doc_col="doc_id")
+    return out.select("doc_id", "token", F.col("count").alias("cnt"))
+
+
+def q_tokenlist_corpus(spark, sf_dir):
+    """A1+A3: corpus-wide case-folded token counts."""
+    tl = _doc_tokens(spark, sf_dir)
+    out = fold_tokenlist(tl, pages=False, section="group", case=False, pos=False,
+                         doc_col=None)
+    return out.select("lowercase", F.col("count").alias("cnt"))
+
+
+def q_page_freq(spark, sf_dir):
+    """A2 pages=False: #distinct pages containing each token, per doc."""
+    tl = _doc_tokens(spark, sf_dir)
+    out = fold_tokenlist(tl, pages=False, section="group", case=True, pos=False,
+                         page_freq=True, doc_col="doc_id")
+    return out.select("doc_id", "token", F.col("count").alias("n_pages"))
+
+
+def q_tokens_min_count(spark, sf_dir):
+    """A8+F5: distinct tokens with per-doc count >= 5."""
+    tl = _doc_tokens(spark, sf_dir)
+    return distinct_tokens(tl, case=True, min_count=5, doc_col="doc_id")
+
+
+def q_tokens_per_page(spark, sf_dir):
+    """A6: per-page token totals."""
+    tl = _doc_tokens(spark, sf_dir)
+    return tokens_per_page(tl, doc_col="doc_id").select(
+        "doc_id", "page", F.col("count").alias("cnt")
+    )
+
+
+def q_term_page_pivot(spark, sf_dir):
+    """R1: page x token wide matrix for a pinned vocabulary."""
+    tl = _doc_tokens(spark, sf_dir)
+    out = term_page_freqs(tl, page_freq=False, case=True, doc_col="doc_id",
+                          token_values=["table", "value", "scan"])
+    return out.select(
+        "doc_id", "page",
+        F.col("table").cast("long").alias("n_table"),
+        F.col("value").cast("long").alias("n_value"),
+        F.col("scan").cast("long").alias("n_scan"),
+    )
+
+
+def q_line_chars(spark, sf_dir):
+    """S3/A4 analog: first/last character counts per doc and place."""
+    tl = _doc_tokens(spark, sf_dir)
+    begin = tl.select("doc_id", F.lit("begin").alias("place"),
+                      F.substring("token", 1, 1).alias("char"))
+    end = tl.select("doc_id", F.lit("end").alias("place"),
+                    F.substring(F.col("token"), -1, 1).alias("char"))
+    return (
+        begin.unionByName(end)
+        .groupBy("doc_id", "place", "char")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. relational core (joins/aggs/sort/limit over the TPC-H-ish tables)
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: big scan + 2-key hash agg (decimal-exact sums)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-10."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake join (region-nation-customer-orders-lineitem)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_top_parts_per_brand(spark, sf_dir):
+    """Top-3 parts by revenue per brand (window top-k, O2 analog)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. temporal layer over events (north-rule operators)
+
+
+def q_asof_purchase_view(spark, sf_dir):
+    """As-of join: latest prior 'view' value onto each 'purchase'."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    build = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return asof_join(probe, build, on="user_id", ts="ts")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap sessionization (30 min): per-user session count."""
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_s=1800.0)
+    return sess.groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
+
+
+def q_lag_delta(spark, sf_dir):
+    """lag window: per-user value delta (pass-through doubles)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select("event_id", (F.col("value") - F.lag("value").over(w)).alias("delta"))
+
+
+def q_ffill_views(spark, sf_dir):
+    """forward fill: last view value at or before each event, per user."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "view_value", F.when(F.col("event_type") == "view", F.col("value"))
+    )
+    return forward_fill(ev, ["view_value"], key="user_id", ts="ts").select(
+        "event_id", "view_value"
+    )
+
+
+def q_daily_rollup(spark, sf_dir):
+    """windowed feature build: per-user daily event rollup."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def q_session_stats(spark, sf_dir):
+    """sessionize + per-session aggregates (count, duration seconds)."""
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", ts="ts", gap_s=1800.0)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(ts_seconds("ts")) - F.min(ts_seconds("ts"))).alias("dur_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D. north-rule sequences pipeline (full oracle: exact int arithmetic)
+
+
+def q_seq_pit_features(spark, sf_dir):
+    """Point-in-time windowed feature build over the derived sequences."""
+    feats = _pit_features(spark, sf_dir)
+    return feats.select(
+        "doc_key", "event_id", "ts", "n_tok", "sum_tok",
+        F.col("seq_idx").cast("long").alias("seq_idx"),
+        "cum_n_tok", "cum_sum_tok", "mean_n_tok", "mean_token_id",
+        "src_cum_n_tok", "doc_src_cum_n_tok", "src_share", "session_id",
+    )
+
+
+def q_seq_asof_features(spark, sf_dir):
+    """As-of join of the PIT feature table onto probe timestamps
+    (purchase events shifted +1s), the north-rule serving pattern."""
+    feats = _pit_features(spark, sf_dir)
+    build = feats.select(
+        "doc_key", "ts",
+        F.col("seq_idx").cast("long").alias("f_seq_idx"),
+        F.col("cum_n_tok").alias("f_cum_n_tok"),
+        F.col("cum_sum_tok").alias("f_cum_sum_tok"),
+        F.col("mean_token_id").alias("f_mean_token_id"),
+    ).distinct()  # tie rows (equal doc/ts) share identical range-frame features
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(50)).cast("long").alias("doc_key"),
+        (F.col("ts") + F.make_interval(secs=F.lit(1.0))).alias("ts"),
+    )
+    return asof_join(probe, build, on="doc_key", ts="ts")
+
+
+# ---------------------------------------------------------------------------
+# E. training-data pipeline ops (dedup / similarity / text / multimodal)
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs, text_col="text", id_col="doc_id")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (3-word shingles, tau=0.2)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "text", "doc_id", n=3)
+    return jaccard_pairs(sh, threshold=0.2).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jacc"
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands x 2 rows) candidate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "text", "doc_id", n=3)
+    ids = shingle_ids(sh)
+    ds = sh.join(ids, on="shingle").select(F.col("id"), "shingle_id")
+    sigs = minhash_signatures(ds, n_hashes=_MH_N, seed=_MH_SEED)
+    return lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash(16) fingerprint per document (weighted by token count)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).groupBy("id", "token").agg(F.count(F.lit(1)).alias("weight"))
+    vocab = toks.select("token").distinct()
+    w = Window.orderBy("token")
+    tok_ids = vocab.select("token", (F.dense_rank().over(w) - 1).alias("token_id"))
+    dt = toks.join(tok_ids, on="token").select("id", "token_id", "weight")
+    return simhash(dt, bits=_SH_BITS, seed=_MH_SEED).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id < 5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    scored = cosine_topk(queries, corpus, k=6)  # k=6 then drop self
+    out = scored.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cos", 6)), "vec_id")
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos", 4).alias("cos4"))
+    )
+
+
+def q_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_features(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_token_len", "distinct_ratio", "punct_ratio", "digit_ratio",
+    )
+
+
+def q_lang_distribution(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalized_fingerprint("text").alias("fp"))
+
+
+def q_bpe_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_ISH_PATTERN)).cast("long").alias("n_bpe"),
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """binary payload plumbing: metadata-only plan over an opaque payload."""
+    docs = _t(spark, sf_dir, "documents")
+    payloads = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return payloads.select(
+        "doc_id", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver surface
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the north-rule as-of + windowed feature pipeline."""
+    return q_seq_asof_features(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tokenlist_fold": q_tokenlist_fold,
+        "tokenlist_volume": q_tokenlist_volume,
+        "tokenlist_corpus": q_tokenlist_corpus,
+        "page_freq": q_page_freq,
+        "tokens_min_count": q_tokens_min_count,
+        "tokens_per_page": q_tokens_per_page,
+        "term_page_pivot": q_term_page_pivot,
+        "line_chars": q_line_chars,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "nation_revenue": q_nation_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "asof_purchase_view": q_asof_purchase_view,
+        "sessionize": q_sessionize,
+        "lag_delta": q_lag_delta,
+        "ffill_views": q_ffill_views,
+        "daily_rollup": q_daily_rollup,
+        "session_stats": q_session_stats,
+        "seq_pit_features": q_seq_pit_features,
+        "seq_asof_features": q_seq_asof_features,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "quality": q_quality,
+        "lang_distribution": q_lang_distribution,
+        "fingerprint": q_fingerprint,
+        "bpe_token_count": q_bpe_token_count,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+def _minhash_sql() -> str:
+    hash_exprs = ", ".join(
+        f"min(({a} * (((sid + 1) * 2654435761) % {_MH_P}) + {b}) % {_MH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MH_COEF)
+    )
+    band_conds = " OR ".join(
+        f"(a.h{2*b} = b.h{2*b} AND a.h{2*b+1} = b.h{2*b+1})" for b in range(4)
+    )
+    return f"""
+      WITH sh AS ({_SQL_SHINGLES}),
+      ids AS (SELECT shingle, dense_rank() OVER (ORDER BY shingle) - 1 AS sid
+              FROM (SELECT DISTINCT shingle FROM sh)),
+      ds AS (SELECT sh.doc_id, ids.sid FROM sh JOIN ids USING (shingle)),
+      mh AS (SELECT doc_id, {hash_exprs} FROM ds GROUP BY doc_id)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_conds})
     """
-    return {}
+
+
+def _simhash_sql() -> str:
+    bit_exprs = " + ".join(
+        f"(CASE WHEN sum(((((token_id * {_SH_A} + {_SH_B}) % {1 << 62}) >> {j}) & 1) * 2 * weight - weight) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_SH_BITS)
+    )
+    return f"""
+      WITH toks AS (
+        SELECT doc_id AS id, tok AS token, count(*) AS weight
+        FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+        GROUP BY 1, 2),
+      ids AS (SELECT token, dense_rank() OVER (ORDER BY token) - 1 AS token_id
+              FROM (SELECT DISTINCT token FROM toks))
+      SELECT id AS doc_id, CAST({bit_exprs} AS BIGINT) AS simhash
+      FROM toks JOIN ids USING (token)
+      GROUP BY id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenlist_fold": f"""
+          SELECT doc_id, page, token, count(*) AS cnt
+          FROM ({_SQL_TOKENS}) GROUP BY 1, 2, 3
+        """,
+        "tokenlist_volume": f"""
+          SELECT doc_id, token, count(*) AS cnt
+          FROM ({_SQL_TOKENS}) GROUP BY 1, 2
+        """,
+        "tokenlist_corpus": f"""
+          SELECT lower(token) AS lowercase, count(*) AS cnt
+          FROM ({_SQL_TOKENS}) GROUP BY 1
+        """,
+        "page_freq": f"""
+          SELECT doc_id, token, count(DISTINCT page) AS n_pages
+          FROM ({_SQL_TOKENS}) GROUP BY 1, 2
+        """,
+        "tokens_min_count": f"""
+          SELECT doc_id, token
+          FROM ({_SQL_TOKENS}) GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
+        "tokens_per_page": f"""
+          SELECT doc_id, page, count(*) AS cnt
+          FROM ({_SQL_TOKENS}) GROUP BY 1, 2
+        """,
+        "term_page_pivot": f"""
+          SELECT doc_id, page,
+                 CAST(sum(CASE WHEN token = 'table' THEN 1 ELSE 0 END) AS BIGINT) AS n_table,
+                 CAST(sum(CASE WHEN token = 'value' THEN 1 ELSE 0 END) AS BIGINT) AS n_value,
+                 CAST(sum(CASE WHEN token = 'scan' THEN 1 ELSE 0 END) AS BIGINT) AS n_scan
+          FROM ({_SQL_TOKENS}) GROUP BY 1, 2
+        """,
+        "line_chars": f"""
+          SELECT doc_id, place, ch AS char, count(*) AS cnt FROM (
+            SELECT doc_id, 'begin' AS place, substr(token, 1, 1) AS ch FROM ({_SQL_TOKENS})
+            UNION ALL
+            SELECT doc_id, 'end' AS place, right(token, 1) AS ch FROM ({_SQL_TOKENS})
+          ) GROUP BY 1, 2, 3
+        """,
+        "pricing_summary": """
+          SELECT l_returnflag, l_linestatus,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                 count(*) AS count_order
+          FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+          GROUP BY 1, 2
+        """,
+        "shipping_priority": """
+          SELECT l_orderkey, o_orderdate,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY 1, 2
+          ORDER BY revenue DESC, l_orderkey
+          LIMIT 10
+        """,
+        "nation_revenue": """
+          SELECT n_name,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                 count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1
+        """,
+        "top_parts_per_brand": """
+          SELECT p_brand, p_partkey, revenue, CAST(rnk AS BIGINT) AS rnk FROM (
+            SELECT p_brand, p_partkey, revenue,
+                   row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+            FROM (
+              SELECT p_brand, p_partkey,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1, 2))
+          WHERE rnk <= 3
+        """,
+        "asof_purchase_view": """
+          SELECT p.event_id, p.user_id, p.ts, v.view_value
+          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+          ASOF LEFT JOIN
+               (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "sessionize": """
+          SELECT user_id, max(sid) AS n_sessions FROM (
+            SELECT user_id,
+                   sum(CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                  FROM events))
+          GROUP BY user_id
+        """,
+        "lag_delta": """
+          SELECT event_id,
+                 value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS delta
+          FROM events
+        """,
+        "ffill_views": """
+          SELECT event_id,
+                 last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value
+          FROM events
+        """,
+        "daily_rollup": """
+          SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+          FROM events GROUP BY 1, 2
+        """,
+        "session_stats": """
+          WITH sess AS (
+            SELECT user_id, ts,
+                   sum(CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                  FROM events))
+          SELECT user_id, session_id, count(*) AS n_events,
+                 max(epoch_us(ts)/1000000.0) - min(epoch_us(ts)/1000000.0) AS dur_s
+          FROM sess GROUP BY 1, 2
+        """,
+        "seq_pit_features": f"""
+          WITH seqs AS ({_SQL_SEQUENCES})
+          SELECT doc_key, event_id, ts, n_tok, sum_tok,
+                 count(*) OVER w_doc AS seq_idx,
+                 sum(n_tok) OVER w_doc AS cum_n_tok,
+                 sum(sum_tok) OVER w_doc AS cum_sum_tok,
+                 (sum(n_tok) OVER w_doc) / (count(*) OVER w_doc) AS mean_n_tok,
+                 (sum(sum_tok) OVER w_doc) / (sum(n_tok) OVER w_doc) AS mean_token_id,
+                 sum(n_tok) OVER w_src AS src_cum_n_tok,
+                 sum(n_tok) OVER w_doc_src AS doc_src_cum_n_tok,
+                 (sum(n_tok) OVER w_doc_src) / (sum(n_tok) OVER w_src) AS src_share,
+                 sum(CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_key ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM (SELECT *, lag(ts) OVER (PARTITION BY doc_key ORDER BY ts, event_id) AS prev_ts
+                FROM seqs)
+          WINDOW w_doc AS (PARTITION BY doc_key ORDER BY ts),
+                 w_src AS (PARTITION BY source ORDER BY ts),
+                 w_doc_src AS (PARTITION BY doc_key, source ORDER BY ts)
+        """,
+        "seq_asof_features": f"""
+          WITH seqs AS ({_SQL_SEQUENCES}),
+          feats AS (
+            SELECT DISTINCT doc_key, ts,
+                   count(*) OVER w_doc AS f_seq_idx,
+                   sum(n_tok) OVER w_doc AS f_cum_n_tok,
+                   sum(sum_tok) OVER w_doc AS f_cum_sum_tok,
+                   (sum(sum_tok) OVER w_doc) / (sum(n_tok) OVER w_doc) AS f_mean_token_id
+            FROM seqs
+            WINDOW w_doc AS (PARTITION BY doc_key ORDER BY ts)),
+          probe AS (
+            SELECT event_id, CAST(user_id % 50 AS BIGINT) AS doc_key,
+                   ts + INTERVAL 1 SECOND AS ts
+            FROM events WHERE event_type = 'purchase')
+          SELECT p.event_id, p.doc_key, p.ts,
+                 f.f_seq_idx, f.f_cum_n_tok, f.f_cum_sum_tok, f.f_mean_token_id
+          FROM probe p
+          ASOF LEFT JOIN feats f ON p.doc_key = f.doc_key AND p.ts >= f.ts
+        """,
+        "dedup_exact": """
+          SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+          FROM documents GROUP BY 1
+        """,
+        "jaccard_pairs": f"""
+          WITH sh AS ({_SQL_SHINGLES}),
+          sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+          common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+                 n_common / (sa.n_sh + sb.n_sh - n_common) AS jacc
+          FROM common
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+        """,
+        "minhash_lsh": _minhash_sql(),
+        "simhash": _simhash_sql(),
+        "ann_cosine_topk": """
+          WITH scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
+          SELECT query_id, neighbor_id, round(cos, 4) AS cos4 FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY round(cos, 6) DESC, neighbor_id) AS rnk
+            FROM scored)
+          WHERE rnk <= 5
+        """,
+        "quality": r"""
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+                 (length(text) - len(string_split_regex(text, '\s+')) + 1) /
+                   greatest(len(string_split_regex(text, '\s+')), 1) AS avg_token_len,
+                 len(list_distinct(string_split_regex(text, '\s+'))) /
+                   greatest(len(string_split_regex(text, '\s+')), 1) AS distinct_ratio,
+                 len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1) AS punct_ratio,
+                 len(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1) AS digit_ratio
+          FROM documents
+        """,
+        "lang_distribution": """
+          SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2
+        """,
+        "fingerprint": r"""
+          SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          FROM documents
+        """,
+        "bpe_token_count": r"""
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+          FROM documents
+        """,
+        "multimodal_meta": """
+          SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
+        """,
+    }

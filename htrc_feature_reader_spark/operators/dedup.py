@@ -1,0 +1,222 @@
+"""Corpus deduplication operators (training-data pipeline extensions).
+
+Not in the reference (it processes one volume at a time); these are the
+corpus-scale companions a 100 TB training pipeline needs, each expressed as
+Catalyst plans with map-side partial aggregation:
+
+- exact dedup      : hash-groupBy on a content digest
+- word/char shingles, MinHash + LSH banding : near-dup candidate pairs with
+  one shuffle per stage and no quadratic blow-up
+- n-gram Jaccard   : exact similarity on candidate pairs (shared-shingle
+  equi-join, so only pairs with >=1 common shingle are ever materialized)
+- SimHash          : 64-bit weighted fingerprint; near-dups differ in few bits
+
+Scale notes: every operator is groupBy/join-shaped (AQE-splittable). The
+MinHash signature build aggregates per (doc, hash_i) with min() — a partial
+agg — then packs; LSH pairs come from a self-join on (band, bucket), which
+is bounded by bucket size, not corpus size. A stop-shingle filter (drop
+shingles appearing in > max_df docs) keeps degenerate buckets from
+exploding — the standard trick for web-scale MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Mersenne prime 2^61-1: the classic universal-hash modulus — products of
+# two < 2^61 values stay within int64*... careful: a*x can overflow int64.
+# We keep a, x < 2^31 so a*x + b < 2^62 fits signed int64 under ANSI mode.
+_MH_PRIME = (1 << 31) - 1  # 2147483647
+
+
+def content_digest(col, normalize: bool = False):
+    """MD5 digest of a text column (optionally whitespace/case-normalized,
+    the classic exact-dedup fingerprint)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if normalize:
+        c = F.lower(F.regexp_replace(c, r"\s+", " "))
+    return F.md5(c.cast("binary"))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Exact dedup: one surviving (min id) row per distinct content digest.
+
+    Returns (digest, keep_id, n_dups). One shuffle; digest computed map-side.
+    """
+    return (
+        df.select(content_digest(text_col, normalize).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Pure Catalyst:
+    split + transform over index sequence + explode + distinct."""
+    arr = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(arr) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def shingle_ids(shingles: DataFrame, max_df: int | None = None) -> DataFrame:
+    """Map shingles to dense integer ids; optionally drop stop-shingles
+    present in more than ``max_df`` docs (they produce degenerate LSH
+    buckets and carry no similarity signal).
+
+    dense_rank over a global sort — fine for vocabulary-sized data; for a
+    100 TB corpus swap in xxhash64(shingle) ids (no shuffle, collision odds
+    ~n^2/2^64) via ``hashed=True`` downstream.
+    """
+    df = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+    if max_df is not None:
+        df = df.filter(F.col("df_count") <= max_df)
+    w = Window.orderBy("shingle")
+    return df.select("shingle", (F.dense_rank().over(w) - 1).alias("shingle_id"))
+
+
+def minhash_signatures(
+    doc_shingles: DataFrame,
+    n_hashes: int = 8,
+    seed: int = 42,
+    shingle_id_col: str = "shingle_id",
+) -> DataFrame:
+    """MinHash signature per doc: (id, sig array<long> of length n_hashes).
+
+    h_i(x) = (a_i * x' + b_i) mod p with x' = ((x+1) * 2654435761) mod p,
+    p = 2^31-1, and deterministic (seeded) odd coefficients — exact integer
+    arithmetic, reproducible on any engine (the DuckDB oracle runs the same
+    formula). The multiplicative pre-mix matters: ids from dense_rank are
+    small dense ints, and an affine map over them is piecewise monotonic
+    (few wraps), which collapses min-hash agreement; spreading x over the
+    ring first makes each h_i behave like a random permutation (and the +1
+    keeps id 0 off the zero fixed point, where every h_i would degenerate
+    to its additive constant b_i).
+    """
+    coeffs = [
+        (2 * ((seed * 1_000_003 + i * 7_919) % (_MH_PRIME // 2)) + 1,
+         (seed * 104_729 + i * 52_361) % _MH_PRIME)
+        for i in range(n_hashes)
+    ]
+    # all math in long: int32 a*x overflows under ANSI mode
+    x = ((F.col(shingle_id_col).cast("long") + 1) * F.lit(2_654_435_761)) % F.lit(_MH_PRIME).cast("long")
+    hashes = [
+        ((F.lit(a).cast("long") * x + F.lit(b).cast("long")) % _MH_PRIME).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    per_hash = doc_shingles.select("id", *hashes)
+    mins = per_hash.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band bucket.
+
+    Pairs are (id_a < id_b), distinct. The self-join is on (band, bucket) —
+    cost is sum of bucket sizes squared, not corpus squared; stop-shingle
+    filtering upstream keeps buckets small.
+    """
+    bands = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(*[
+                F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                for b in range(n_bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    a = bands.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = bands.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    doc_shingles: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing >=1 shingle.
+
+    (id_a, id_b, jacc) with id_a < id_b and jacc >= threshold. The shared-
+    shingle equi-join prunes the quadratic space; sizes come from one
+    aggregate and broadcast back.
+    """
+    sizes = doc_shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = doc_shingles.select(F.col("id").alias("id_a"), "shingle")
+    b = doc_shingles.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jacc",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", "jacc")
+    )
+
+
+def simhash(
+    doc_tokens: DataFrame,
+    bits: int = 16,
+    seed: int = 42,
+    id_col: str = "id",
+    token_id_col: str = "token_id",
+    weight_col: str | None = "weight",
+) -> DataFrame:
+    """Weighted SimHash fingerprint per doc from (id, token_id[, weight]).
+
+    Bit j of token t = ((token_id * A + B) >> j) & 1 with deterministic odd
+    A — exact integer arithmetic (oracle-reproducible). Fingerprint bit j is
+    the sign of the weighted sum of (2*bit - 1).
+    """
+    A = 2 * ((seed * 2_654_435_761) % (1 << 30)) + 1
+    B = seed * 97 + 13
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    mixed = (F.col(token_id_col).cast("long") * F.lit(A) + F.lit(B)) % F.lit(1 << 62)
+    contribs = [
+        (w * (F.shiftright(mixed, j).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    summed = doc_tokens.select(F.col(id_col).alias("id"), *contribs).groupBy("id").agg(
+        *[F.sum(f"b{j}").alias(f"b{j}") for j in range(bits)]
+    )
+    fingerprint = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return summed.select("id", fingerprint.cast("long").alias("simhash"))
+
+
+def hamming_distance(a, b):
+    """Popcount of XOR — pair filter for SimHash near-dups."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -27,9 +27,21 @@ Features:
                  always in (0, 1])
 - timeline:      gap_s since previous row, session_id (gap-based)
 
-One shuffle per distinct partition key (doc_id, then source); AQE splits
-skewed partitions at runtime; a hot doc_id's window is a sequential scan
-within one partition, which is exactly the semantics' lower bound.
+Scale design:
+- doc-keyed windows parallelize across millions of docs, but a plain
+  ``partitionBy(source)`` window has a hard parallelism ceiling of #sources
+  (4 here — one task each, no matter the cluster). The source cumulative is
+  therefore computed as a **distributed prefix sum**: an in-bucket range
+  window partitioned by (source, time-bucket) — fully parallel — plus a
+  broadcast of per-bucket totals' exclusive prefix (tiny: #sources x
+  #buckets rows). Identical exact-integer results, no ceiling.
+- the ``tokens`` payload (~10x the width of everything else) never rides
+  through a window exchange: per-row scalars (sum_tok, n_distinct) are
+  extracted at the scan, the window plan runs on the narrow projection,
+  and the payload is re-attached by one equi-join at the end (or not at
+  all with ``attach_payload=False`` — the feature-table case). Measured on
+  this box: pushing the arrays through the two window sorts saturates
+  memory bandwidth and makes 32 cores *slower* than 8.
 """
 
 from __future__ import annotations
@@ -43,22 +55,81 @@ from .windows import session_id_col
 from ..functions import ts_seconds
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    bucket_s: float = 3600.0,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Cumulative sum of ``value_col`` over time per key, with no
+    per-key parallelism ceiling: within-bucket range window (parallel over
+    (key, bucket)) + broadcast-joined exclusive prefix of bucket totals.
+
+    Returns df + out_col. Exactly equals
+    ``sum(value) over (partition by key order by ts range unbounded
+    preceding)`` — same exact-integer result, different physical plan.
+    """
+    ts_s = ts_seconds(ts_col)
+    bucket = F.floor(ts_s / F.lit(float(bucket_s)))
+    df = df.withColumn("__bucket", bucket)
+    w_in = (
+        Window.partitionBy(*key_cols, "__bucket")
+        .orderBy(ts_s)
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    df = df.withColumn("__in_cum", F.sum(value_col).over(w_in))
+    totals = df.groupBy(*key_cols, "__bucket").agg(
+        F.sum(value_col).alias("__btotal")
+    )
+    w_pref = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        *key_cols, "__bucket", F.sum("__btotal").over(w_pref).alias("__prefix")
+    )
+    out = (
+        df.join(F.broadcast(prefix), on=[*key_cols, "__bucket"], how="left")
+        .withColumn(out_col, F.col("__in_cum") + F.coalesce(F.col("__prefix"), F.lit(0)))
+        .drop("__bucket", "__in_cum", "__prefix")
+    )
+    return out
+
+
 def build_pit_features(
     seqs: DataFrame,
     doc_col: str = "doc_id",
     ts_col: str = "ts",
     session_gap_s: float = 1800.0,
+    tiebreak: list[str] | None = None,
+    src_bucket_s: float = 3600.0,
+    attach_payload: bool = True,
+    payload_cols: tuple[str, ...] = ("tokens",),
 ) -> DataFrame:
-    """Compute the point-in-time feature vector for every sequence row."""
+    """Compute the point-in-time feature vector for every sequence row.
+
+    ``tiebreak`` orders rows with equal (doc, ts) for the row-ordered
+    features (gap_s, session_id); defaults to (n_tok, sum_tok). Cumulative
+    features use range frames and are tiebreak-independent.
+    ``src_bucket_s`` sizes the prefix-sum time buckets for the source
+    cumulative (#buckets ~ time span / bucket_s; keep it small enough to
+    broadcast, large enough that buckets hold many rows).
+
+    ``attach_payload=False`` returns the narrow feature table without the
+    payload columns — the cheap path when consumers join features onto the
+    raw table themselves. With True (default), payload columns are
+    re-attached by one equi-join on the full narrow row key; rows that are
+    complete duplicates of each other (same doc, ts, scalars, source)
+    collapse to one representative's row-ordered features — they are
+    interchangeable, so cumulative features are unaffected.
+    """
     ts_s = ts_seconds(ts_col)
 
     doc_range = (
         Window.partitionBy(doc_col)
-        .orderBy(ts_s)
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
-    src_range = (
-        Window.partitionBy("source")
         .orderBy(ts_s)
         .rangeBetween(Window.unboundedPreceding, 0)
     )
@@ -68,15 +139,25 @@ def build_pit_features(
         .rangeBetween(Window.unboundedPreceding, 0)
     )
 
-    df = seqs.withColumn("sum_tok", F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x))
-    df = df.withColumn("n_distinct", F.size(F.array_distinct("tokens")))
+    with_scalars = seqs.withColumn(
+        "sum_tok", F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x)
+    ).withColumn("n_distinct", F.size(F.array_distinct("tokens")))
+
+    # windows run on the narrow projection: the payload never enters a sort
+    present_payload = [c for c in payload_cols if c in with_scalars.columns]
+    df = with_scalars.drop(*present_payload)
+    narrow_key = df.columns
 
     df = (
         df.withColumn("seq_idx", F.count(F.lit(1)).over(doc_range))
         .withColumn("cum_n_tok", F.sum("n_tok").over(doc_range))
         .withColumn("cum_sum_tok", F.sum("sum_tok").over(doc_range))
-        .withColumn("src_cum_n_tok", F.sum("n_tok").over(src_range))
         .withColumn("doc_src_cum_n_tok", F.sum("n_tok").over(doc_src_range))
+    )
+    # source-level cumulative via distributed prefix sum (no 4-task ceiling)
+    df = distributed_prefix_sum(
+        df, "n_tok", ["source"], ts_col=ts_col, bucket_s=src_bucket_s,
+        out_col="src_cum_n_tok",
     )
     df = (
         df.withColumn("mean_n_tok", F.col("cum_n_tok") / F.col("seq_idx"))
@@ -85,11 +166,15 @@ def build_pit_features(
     )
 
     # timeline features use a deterministic total order within ties
-    order_w = Window.partitionBy(doc_col).orderBy(ts_s, F.col("n_tok"), F.col("sum_tok"))
+    tb = tiebreak if tiebreak is not None else ["n_tok", "sum_tok"]
+    order_w = Window.partitionBy(doc_col).orderBy(ts_s, *[F.col(c) for c in tb])
     df = df.withColumn(
         "gap_s", ts_s - F.lag(ts_s).over(order_w)
     ).withColumn(
         "session_id",
-        session_id_col(doc_col, ts_col, session_gap_s, tiebreak=["n_tok", "sum_tok"]).cast("long"),
+        session_id_col(doc_col, ts_col, session_gap_s, tiebreak=tb).cast("long"),
     )
+
+    if attach_payload and present_payload:
+        df = with_scalars.join(df.dropDuplicates(narrow_key), on=narrow_key)
     return df

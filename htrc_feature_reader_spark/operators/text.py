@@ -1,0 +1,96 @@
+"""Text analysis operators (training-data extension).
+
+Language-ID (stopword-marker heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (normalized
+digest + polynomial rolling hash). All pure Catalyst column expressions —
+they compose into any documents-table plan without leaving the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets — enough signal for a coarse
+# heuristic language id on natural text (tested on real-language samples in
+# tests/test_text.py). Deliberately small: each probe is one array_contains
+# over the token array.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "that", "you", "with"],
+    "fr": ["le", "la", "les", "et", "est", "que", "vous", "avec"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "sie"],
+    "es": ["el", "los", "las", "es", "que", "usted", "con", "para"],
+}
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(c, r"\s+"))
+
+
+def bpe_ish_token_count(text) -> Column:
+    """Count of BPE-ish pretokenizer matches (letter runs / digit runs /
+    single punctuation) — a cheap proxy for LLM token counts."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
+def lang_id(text, default: str = "und") -> Column:
+    """Heuristic language guess: the language whose marker-stopword hit
+    count over the lowercased token set is highest (ties broken by language
+    code order; no hits -> ``default``)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(c), r"\s+")
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(m) for m in markers])))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach standard quality-scoring columns:
+
+    n_chars, n_tokens (whitespace), avg_token_len, distinct_ratio
+    (type/token), punct_ratio, digit_ratio, upper_ratio — the usual
+    Gopher/C4-style filters compose from these.
+    """
+    c = F.col(text_col)
+    toks = F.split(c, r"\s+")
+    n_chars = F.length(c)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "avg_token_len",
+            (n_chars - F.size(toks) + 1) / F.greatest(F.size(toks), F.lit(1)),
+        )
+        .withColumn("distinct_ratio", F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)))
+        .withColumn("punct_ratio", F.regexp_count(c, F.lit(r"[^\w\s]")) / safe_chars)
+        .withColumn("digit_ratio", F.regexp_count(c, F.lit(r"[0-9]")) / safe_chars)
+        .withColumn("upper_ratio", F.regexp_count(c, F.lit(r"[A-Z]")) / safe_chars)
+    )
+
+
+def normalized_fingerprint(text) -> Column:
+    """Whitespace/case-normalized MD5 — near-dup fingerprint robust to
+    formatting noise."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(c, r"\s+", " ")).cast("binary"))
+
+
+def rolling_hash(text, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over character codes — exact integer
+    arithmetic (reproducible on any engine), the building block for
+    content-defined chunk fingerprints."""
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )

@@ -1,0 +1,155 @@
+"""Per-partition checkpoint manifests + resumable writes (north rule).
+
+BASELINE.json requires execution "resumable from per-partition checkpoints
+carrying lineage manifests (snapshot id, partition range, row counts,
+digest)". The reference's analog is its caching resolver (copy to local
+store on miss, /root/reference/htrc_features/caching.py:14-89) — per-volume;
+ours is per-partition over corpus-scale outputs.
+
+Design: outputs are written partitioned by an explicit bucket column
+(``partition_col``); alongside the data we store ``_manifest.json`` with one
+entry per partition value: row count + an order-insensitive content digest
+(sum of xxhash64 over all columns — commutative, so shuffle order can't
+change it) + the caller's snapshot id (e.g. an Iceberg snapshot or input
+fingerprint). A resumed job recomputes only the partitions whose manifest
+entry is missing; ``verify_output`` re-derives digests from the stored data
+and flags corruption/drift.
+
+The digest aggregation is one extra groupBy over data already being
+written — map-side combinable, no second full shuffle when the write is
+already partitioned by the same column.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def partition_digests(df: DataFrame, partition_col: str) -> DataFrame:
+    """(partition, row_count, digest) — digest is the int64-wrapped sum of
+    xxhash64 over every column, invariant to row order and partitioning."""
+    # per-row hash reduced mod 2^31-1 so the commutative sum cannot
+    # overflow int64 under ANSI mode for any realistic partition size.
+    # Hash columns in NAME order with the partition col stringified, so the
+    # digest is invariant to projection order and to the partition column
+    # round-tripping through the directory layout.
+    cols = [
+        F.col(c).cast("string") if c == partition_col else F.col(c)
+        for c in sorted(df.columns)
+    ]
+    h = F.pmod(F.xxhash64(*cols), F.lit(2147483647).cast("long"))
+    return df.groupBy(partition_col).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(h).alias("digest"),
+    ).select(F.col(partition_col).alias("partition"), "row_count", "digest")
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, MANIFEST_NAME)
+
+
+def read_manifest(path: str) -> dict:
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return {"snapshot_id": None, "partitions": {}}
+    with open(mp) as f:
+        return json.load(f)
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    tmp = _manifest_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(path))
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    snapshot_id: str = "unversioned",
+    mode: str = "overwrite",
+) -> dict:
+    """Write df partitioned by ``partition_col`` with a full manifest."""
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+    digests = partition_digests(df, partition_col).collect()
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "partition_col": partition_col,
+        "partitions": {
+            str(r["partition"]): {"row_count": r["row_count"], "digest": str(r["digest"])}
+            for r in digests
+        },
+    }
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def resume_write(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    snapshot_id: str = "unversioned",
+) -> dict:
+    """Write only the partitions missing from the manifest (restart path).
+
+    A snapshot mismatch means the input changed since the checkpoint —
+    refuse rather than silently mix lineages.
+    """
+    manifest = read_manifest(path)
+    if manifest["partitions"] and manifest.get("snapshot_id") != snapshot_id:
+        raise ValueError(
+            f"manifest snapshot {manifest.get('snapshot_id')!r} != requested "
+            f"{snapshot_id!r}: input changed since checkpoint; use a fresh path"
+        )
+    done = set(manifest["partitions"])
+    todo = df.filter(~F.col(partition_col).cast("string").isin(list(done))) if done else df
+    new_digests = partition_digests(todo, partition_col).collect()
+    if new_digests:
+        (
+            todo.write.mode("append").partitionBy(partition_col).parquet(path)
+        )
+    for r in new_digests:
+        manifest["partitions"][str(r["partition"])] = {
+            "row_count": r["row_count"],
+            "digest": str(r["digest"]),
+        }
+    manifest["snapshot_id"] = snapshot_id
+    manifest["partition_col"] = partition_col
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def verify_output(spark: SparkSession, path: str) -> list[str]:
+    """Recompute per-partition digests from stored data; return a list of
+    discrepancies (empty == clean)."""
+    manifest = read_manifest(path)
+    pcol = manifest.get("partition_col")
+    if not pcol:
+        return ["no manifest"]
+    stored = spark.read.parquet(path)
+    # partition column comes back from the directory layout; normalize order
+    cols = [c for c in stored.columns if c != pcol] + [pcol]
+    recomputed = {
+        str(r["partition"]): (r["row_count"], str(r["digest"]))
+        for r in partition_digests(stored.select(*cols), pcol).collect()
+    }
+    problems = []
+    for part, meta in manifest["partitions"].items():
+        if part not in recomputed:
+            problems.append(f"partition {part} missing from data")
+        elif (meta["row_count"], meta["digest"]) != recomputed[part]:
+            problems.append(
+                f"partition {part}: manifest {meta} != data "
+                f"{{'row_count': {recomputed[part][0]}, 'digest': {recomputed[part][1]!r}}}"
+            )
+    for part in recomputed:
+        if part not in manifest["partitions"]:
+            problems.append(f"partition {part} present in data but not manifest")
+    return problems

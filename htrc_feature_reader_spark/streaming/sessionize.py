@@ -1,0 +1,58 @@
+"""Structured Streaming sessionization (streaming surface of the batch
+operator in operators/windows.py).
+
+The reference is fully batch (SURVEY.md §2.9); this is the engine's
+streaming analog for the north-rule sessionization semantics: event-time
+``session_window`` aggregation with a watermark for late data. The batch
+and streaming results agree for gap/window semantics (tested with the
+file source + availableNow trigger, which drains a static directory as a
+stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming per-(key, session-window) event counts.
+
+    Watermark bounds state: sessions close once event time passes
+    window end + watermark — the knob that keeps state finite on an
+    unbounded stream (at 100 TB/day the watermark IS the memory budget).
+    """
+    events = spark.readStream.schema(schema).parquet(path)
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(sdf: DataFrame, name: str = "sessions") -> None:
+    """Drain a bounded stream synchronously into an in-memory table (test
+    helper; production would write to a real sink with checkpointing)."""
+    q = (
+        sdf.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

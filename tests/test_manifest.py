@@ -1,0 +1,77 @@
+"""Checkpoint/lineage manifests: write, resume-after-partial-failure,
+verification, snapshot mismatch refusal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from htrc_feature_reader_spark.plans import (
+    read_manifest,
+    resume_write,
+    verify_output,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.range(1000).select(
+        (F.col("id") % 10).cast("string").alias("bucket"),
+        F.col("id").alias("v"),
+        (F.col("id") * 3).alias("w"),
+    )
+
+
+def test_write_and_verify(spark, df, tmp_path):
+    path = str(tmp_path / "out")
+    manifest = write_partitioned(df, path, "bucket", snapshot_id="snap1")
+    assert len(manifest["partitions"]) == 10
+    assert all(p["row_count"] == 100 for p in manifest["partitions"].values())
+    assert verify_output(spark, path) == []
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+
+
+def test_resume_completes_missing_partitions(spark, df, tmp_path):
+    path = str(tmp_path / "out")
+    # simulate a job that died after 6 of 10 partitions
+    partial = df.filter(F.col("bucket").isin([str(i) for i in range(6)]))
+    write_partitioned(partial, path, "bucket", snapshot_id="snap1")
+    assert len(read_manifest(path)["partitions"]) == 6
+
+    manifest = resume_write(df, path, "bucket", snapshot_id="snap1")
+    assert len(manifest["partitions"]) == 10
+    assert spark.read.parquet(path).count() == 1000
+    assert verify_output(spark, path) == []
+
+    # resume again: no-op, still clean
+    manifest2 = resume_write(df, path, "bucket", snapshot_id="snap1")
+    assert manifest2 == manifest
+    assert spark.read.parquet(path).count() == 1000
+
+
+def test_resume_refuses_snapshot_mismatch(spark, df, tmp_path):
+    path = str(tmp_path / "out")
+    write_partitioned(df.limit(100), path, "bucket", snapshot_id="snap1")
+    with pytest.raises(ValueError, match="snapshot"):
+        resume_write(df, path, "bucket", snapshot_id="snap2")
+
+
+def test_verify_detects_corruption(spark, df, tmp_path):
+    path = str(tmp_path / "out")
+    write_partitioned(df, path, "bucket", snapshot_id="snap1")
+    # corrupt: delete one partition directory
+    import shutil
+
+    shutil.rmtree(f"{path}/bucket=3")
+    problems = verify_output(spark, path)
+    assert any("3" in p for p in problems)
+
+
+def test_digest_invariant_to_partitioning(spark, df, tmp_path):
+    from htrc_feature_reader_spark.plans import partition_digests
+
+    a = {r["partition"]: (r["row_count"], r["digest"])
+         for r in partition_digests(df, "bucket").collect()}
+    b = {r["partition"]: (r["row_count"], r["digest"])
+         for r in partition_digests(df.repartition(37), "bucket").collect()}
+    assert a == b
