@@ -496,6 +496,19 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def q_stopword_filter(spark, sf_dir):
+    """R3: stopword removal via broadcast left-anti join."""
+    from htrc_feature_reader_spark.operators.vocab import remove_stopwords
+
+    tl = _doc_tokens(spark, sf_dir)
+    sw = spark.createDataFrame([(w,) for w in _STOPWORDS], "token string")
+    out = remove_stopwords(tl, sw)
+    return out.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     """binary payload plumbing: metadata-only plan over an opaque payload."""
     docs = _t(spark, sf_dir, "documents")
@@ -547,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "fingerprint": q_fingerprint,
         "bpe_token_count": q_bpe_token_count,
+        "stopword_filter": q_stopword_filter,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -824,5 +838,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": """
           SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
+        """,
+        "stopword_filter": f"""
+          SELECT doc_id, token, count(*) AS cnt
+          FROM ({_SQL_TOKENS})
+          WHERE token NOT IN {_STOPWORDS!r}
+          GROUP BY 1, 2
         """,
     }

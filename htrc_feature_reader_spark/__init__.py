@@ -30,3 +30,4 @@ __version__ = "0.1.0"
 
 from .errors import MissingDataError, MissingFieldError  # noqa: F401
 from .session import get_spark  # noqa: F401
+from .corpus import Corpus  # noqa: F401

@@ -22,3 +22,5 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import cosine_topk, lsh_cosine_topk  # noqa: F401
 from .text import lang_id, quality_features  # noqa: F401
+from .vocab import remove_stopwords, restrict_to_vocab  # noqa: F401
+from .embeddings import weighted_embedding_average  # noqa: F401

@@ -1,0 +1,132 @@
+"""EF-JSON sink (operator S9): long tables -> nested EF v3.0 JSON.
+
+The reference's JSON writer is a byte-faithful file copy with optional
+re-compression (parsers.py:252-272) — trivial because it never re-encodes.
+The engine-side analog worth having is the inverse of the ingest exploder:
+re-assemble the nested page/section/tokenPosCount structure from the long
+tables and write NDJSON (one volume per line; Spark compresses via
+``option('compression', ...)``). Ingest(sink(ingest(x))) == ingest(x) is
+tested — the engine's byte-fidelity analog at the semantic level.
+
+All pure Catalyst: groupBy + map_from_entries + collect_list; the only
+shuffle keys are (htid, page, section) then (htid, page) then htid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import SECTIONS
+
+
+def _section_struct(tokens_g: DataFrame, sec_feats: DataFrame | None,
+                    line_chars: DataFrame | None) -> DataFrame:
+    """Per (htid, page, section): tokenPosCount map + scalars + char maps."""
+    tpc = (
+        tokens_g.groupBy("htid", "page", "section", "token")
+        .agg(F.map_from_entries(F.collect_list(F.struct("pos", "count"))).alias("posmap"))
+        .groupBy("htid", "page", "section")
+        .agg(F.map_from_entries(F.collect_list(F.struct("token", "posmap"))).alias("tokenPosCount"),
+             F.sum(F.aggregate(F.map_values("posmap"), F.lit(0).cast("long"), lambda a, x: a + x)).alias("tokenCount"))
+    )
+    if line_chars is not None:
+        chars = (
+            line_chars.groupBy("htid", "page", "section", "place")
+            .agg(F.map_from_entries(F.collect_list(F.struct("char", "count"))).alias("cmap"))
+            .groupBy("htid", "page", "section")
+            .pivot("place", ["begin", "end"])
+            .agg(F.first("cmap"))
+            .withColumnsRenamed({"begin": "beginCharCounts", "end": "endCharCount"})
+        )
+        tpc = tpc.join(chars, on=["htid", "page", "section"], how="left")
+    else:
+        tpc = tpc.withColumn("beginCharCounts", F.lit(None).cast("map<string,long>"))
+        tpc = tpc.withColumn("endCharCount", F.lit(None).cast("map<string,long>"))
+    if sec_feats is not None:
+        tpc = tpc.drop("tokenCount").join(
+            sec_feats.select("htid", "page", "section", "tokenCount", "lineCount",
+                             "emptyLineCount", "sentenceCount", "capAlphaSeq"),
+            on=["htid", "page", "section"], how="left",
+        )
+    else:
+        for c in ("lineCount", "emptyLineCount", "sentenceCount", "capAlphaSeq"):
+            tpc = tpc.withColumn(c, F.lit(None).cast("long"))
+    return tpc
+
+
+def write_ef_json(
+    path: str,
+    tokenlist: DataFrame,
+    section_features: DataFrame | None = None,
+    line_chars: DataFrame | None = None,
+    volumes: DataFrame | None = None,
+    compression: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Re-assemble EF v3.0 nested volumes and write NDJSON."""
+    secs = _section_struct(tokenlist, section_features, line_chars)
+    sec_struct = F.struct(
+        "tokenCount", "lineCount", "emptyLineCount", "sentenceCount",
+        "capAlphaSeq", "tokenPosCount", "beginCharCounts", "endCharCount",
+    )
+    pages = (
+        secs.groupBy("htid", "page")
+        .pivot("section", list(SECTIONS))
+        .agg(F.first(sec_struct))
+        .select(
+            "htid", "page",
+            F.format_string("%08d", F.col("page")).alias("seq"),
+            *[F.col(s).alias(s) for s in SECTIONS],
+        )
+        .withColumn(
+            "tokenCount",
+            sum(F.coalesce(F.col(f"{s}.tokenCount"), F.lit(0)) for s in SECTIONS),
+        )
+    )
+    vols = (
+        pages.orderBy("page")
+        .groupBy("htid")
+        .agg(
+            # structs with map fields are not orderable: sort by page via
+            # an explicit comparator
+            F.array_sort(
+                F.collect_list(F.struct(
+                    "page", "seq", "tokenCount", *[F.col(s) for s in SECTIONS]
+                )),
+                lambda l, r: F.when(l["page"] < r["page"], -1)
+                .when(l["page"] > r["page"], 1)
+                .otherwise(0),
+            ).alias("_pg"),
+        )
+        .select(
+            "htid",
+            F.struct(
+                F.lit("3.0").alias("schemaVersion"),
+                F.size("_pg").alias("pageCount"),
+                F.transform(
+                    F.col("_pg"),
+                    lambda p: F.struct(
+                        p["seq"].alias("seq"),
+                        p["tokenCount"].alias("tokenCount"),
+                        *[p[s].alias(s) for s in SECTIONS],
+                    ),
+                ).alias("pages"),
+            ).alias("features"),
+        )
+    )
+    if volumes is not None:
+        meta = volumes.select(
+            "htid",
+            F.struct(
+                F.col("title"), F.col("pub_date").alias("pubDate"),
+                F.col("language"), F.col("names"), F.col("genre"),
+                F.col("source_institution").alias("sourceInstitution"),
+                F.col("access_profile").alias("accessProfile"),
+            ).alias("metadata"),
+        )
+        vols = vols.join(meta, on="htid", how="left")
+    w = vols.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
