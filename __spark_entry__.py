@@ -496,6 +496,23 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """embedding-cosine near-dup pairs (dedup mode over the vectors table):
+    all pairs with cosine >= 0.2, exact brute force."""
+    from htrc_feature_reader_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.round("cos", 6) >= 0.2)
+    )
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos4"))
+
+
 _STOPWORDS = ("the", "a", "of", "and", "to")
 
 
@@ -561,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "bpe_token_count": q_bpe_token_count,
         "stopword_filter": q_stopword_filter,
+        "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -844,5 +862,14 @@ def oracle_sql() -> dict[str, str]:
           FROM ({_SQL_TOKENS})
           WHERE token NOT IN {_STOPWORDS!r}
           GROUP BY 1, 2
+        """,
+        "embedding_near_dup": """
+          SELECT id_a, id_b, round(cos, 4) AS cos4 FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
+            FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+          WHERE round(cos, 6) >= 0.2
         """,
     }
