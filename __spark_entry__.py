@@ -422,11 +422,15 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash(8) + LSH(4 bands x 2 rows) candidate pairs."""
+    """MinHash(8) + LSH(4 bands x 2 rows) candidate pairs.
+
+    Shingle ids come from the shuffle-free rolling hash (map-side, engine-
+    portable) — no vocabulary build, no global sort."""
+    from htrc_feature_reader_spark.operators.text import rolling_hash
+
     docs = _t(spark, sf_dir, "documents")
     sh = word_shingles(docs, "text", "doc_id", n=3)
-    ids = shingle_ids(sh)
-    ds = sh.join(ids, on="shingle").select(F.col("id"), "shingle_id")
+    ds = sh.select("id", rolling_hash("shingle").alias("shingle_id"))
     sigs = minhash_signatures(ds, n_hashes=_MH_N, seed=_MH_SEED)
     return lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
@@ -434,16 +438,16 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash(16) fingerprint per document (weighted by token count)."""
+    """SimHash(16) fingerprint per document (weighted by token count);
+    rolling-hash token ids — no vocabulary build."""
+    from htrc_feature_reader_spark.operators.text import rolling_hash
+
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.col("doc_id").alias("id"),
         F.explode(F.split("text", " ")).alias("token"),
     ).groupBy("id", "token").agg(F.count(F.lit(1)).alias("weight"))
-    vocab = toks.select("token").distinct()
-    w = Window.orderBy("token")
-    tok_ids = vocab.select("token", (F.dense_rank().over(w) - 1).alias("token_id"))
-    dt = toks.join(tok_ids, on="token").select("id", "token_id", "weight")
+    dt = toks.select("id", rolling_hash("token").alias("token_id"), "weight")
     return simhash(dt, bits=_SH_BITS, seed=_MH_SEED).select(
         F.col("id").alias("doc_id"), "simhash"
     )
@@ -583,6 +587,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# polynomial rolling hash of a string, seeded 0: fold (h*257 + code) % 2^31-1
+# — identical on both engines (Spark F.aggregate / DuckDB list_reduce)
+_SQL_ROLLHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 257 + b) % 2147483647)"
+)
+
+
 def _minhash_sql() -> str:
     hash_exprs = ", ".join(
         f"min(({a} * (((sid + 1) * 2654435761) % {_MH_P}) + {b}) % {_MH_P}) AS h{i}"
@@ -591,11 +604,10 @@ def _minhash_sql() -> str:
     band_conds = " OR ".join(
         f"(a.h{2*b} = b.h{2*b} AND a.h{2*b+1} = b.h{2*b+1})" for b in range(4)
     )
+    sid = _SQL_ROLLHASH.format(col="shingle")
     return f"""
       WITH sh AS ({_SQL_SHINGLES}),
-      ids AS (SELECT shingle, dense_rank() OVER (ORDER BY shingle) - 1 AS sid
-              FROM (SELECT DISTINCT shingle FROM sh)),
-      ds AS (SELECT sh.doc_id, ids.sid FROM sh JOIN ids USING (shingle)),
+      ds AS (SELECT doc_id, {sid} AS sid FROM sh),
       mh AS (SELECT doc_id, {hash_exprs} FROM ds GROUP BY doc_id)
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_conds})
@@ -608,15 +620,14 @@ def _simhash_sql() -> str:
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(_SH_BITS)
     )
+    tid = _SQL_ROLLHASH.format(col="token")
     return f"""
       WITH toks AS (
         SELECT doc_id AS id, tok AS token, count(*) AS weight
         FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
-        GROUP BY 1, 2),
-      ids AS (SELECT token, dense_rank() OVER (ORDER BY token) - 1 AS token_id
-              FROM (SELECT DISTINCT token FROM toks))
+        GROUP BY 1, 2)
       SELECT id AS doc_id, CAST({bit_exprs} AS BIGINT) AS simhash
-      FROM toks JOIN ids USING (token)
+      FROM (SELECT id, {tid} AS token_id, weight FROM toks)
       GROUP BY id
     """
 

@@ -71,20 +71,35 @@ def word_shingles(
     )
 
 
-def shingle_ids(shingles: DataFrame, max_df: int | None = None) -> DataFrame:
-    """Map shingles to dense integer ids; optionally drop stop-shingles
-    present in more than ``max_df`` docs (they produce degenerate LSH
-    buckets and carry no similarity signal).
+def shingle_ids(
+    shingles: DataFrame, max_df: int | None = None, method: str = "hash"
+) -> DataFrame:
+    """Map shingles to integer ids; optionally drop stop-shingles present
+    in more than ``max_df`` docs (they produce degenerate LSH buckets and
+    carry no similarity signal).
 
-    dense_rank over a global sort — fine for vocabulary-sized data; for a
-    100 TB corpus swap in xxhash64(shingle) ids (no shuffle, collision odds
-    ~n^2/2^64) via ``hashed=True`` downstream.
+    method='hash' (default): polynomial rolling hash of the shingle string
+    mod 2^31-1 — computed map-side with NO shuffle, reproducible on any
+    engine (the DuckDB oracle runs the same fold). Collisions are shared by
+    construction, so results stay engine-identical; at ~n^2/2^32 odds they
+    only marginally blur similarity.
+
+    method='dense': dense_rank over a global sort — exact compact ids, but
+    a single-partition window; only for vocabulary-sized data.
     """
-    df = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+    from .text import rolling_hash
+
     if max_df is not None:
-        df = df.filter(F.col("df_count") <= max_df)
-    w = Window.orderBy("shingle")
-    return df.select("shingle", (F.dense_rank().over(w) - 1).alias("shingle_id"))
+        counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+        base = counts.filter(F.col("df_count") <= max_df).select("shingle")
+    else:
+        base = shingles.select("shingle").distinct()
+    if method == "hash":
+        return base.select("shingle", rolling_hash("shingle").alias("shingle_id"))
+    if method == "dense":
+        w = Window.orderBy("shingle")
+        return base.select("shingle", (F.dense_rank().over(w) - 1).alias("shingle_id"))
+    raise ValueError(f"unknown shingle id method {method!r}")
 
 
 def minhash_signatures(
