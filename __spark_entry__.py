@@ -322,6 +322,16 @@ def q_asof_purchase_view(spark, sf_dir):
     return asof_join(probe, build, on="user_id", ts="ts")
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of: next 'click' value at or after each 'signup'."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    build = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(probe, build, on="user_id", ts="ts", direction="forward")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap sessionization (30 min): per-user session count."""
     ev = _t(spark, sf_dir, "events")
@@ -565,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": q_nation_revenue,
         "top_parts_per_brand": q_top_parts_per_brand,
         "asof_purchase_view": q_asof_purchase_view,
+        "asof_forward": q_asof_forward,
         "sessionize": q_sessionize,
         "lag_delta": q_lag_delta,
         "ffill_views": q_ffill_views,
@@ -723,6 +734,13 @@ def oracle_sql() -> dict[str, str]:
           ASOF LEFT JOIN
                (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "asof_forward": """
+          SELECT p.event_id, p.user_id, p.ts, c.click_value
+          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') p
+          ASOF LEFT JOIN
+               (SELECT user_id, ts, value AS click_value FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
         """,
         "sessionize": """
           SELECT user_id, max(sid) AS n_sessions FROM (

@@ -1,0 +1,78 @@
+"""Physical-plan regression guards: the properties that make these
+operators scale must survive refactors — pushed-down filters, pruned scans,
+single-shuffle as-of, broadcast label joins, no stray Python in the fold
+path. (The round brief: '.explain the plan and iterate until it's the plan
+you'd want' — these tests freeze that plan.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from htrc_feature_reader_spark.operators import asof_join, fold_tokenlist
+from htrc_feature_reader_spark.operators.chunking import chunked_tokenlist
+
+
+def _formatted(df):
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def tl_parquet(spark, tokenlist_df, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plan") / "tl")
+    tokenlist_df.write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_fold_pushes_filters_and_prunes_columns(tl_parquet):
+    plan = _formatted(
+        fold_tokenlist(tl_parquet, pages=True, section="body", page_select=3,
+                       case=False, pos=False)
+    )
+    assert "EqualTo(section,body)" in plan
+    assert "EqualTo(page,3)" in plan
+    # pos not needed by this fold -> pruned from the scan
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "pos" not in scan_schema
+    # fold itself is JVM-only (no Python-eval operators)
+    for op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert op not in plan
+
+
+def test_fold_partial_aggregation(tl_parquet):
+    plan = _formatted(fold_tokenlist(tl_parquet, section="group"))
+    # partial + final hash aggregate around exactly one exchange
+    assert plan.count(") Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_single_shuffle_window(spark):
+    probe = spark.createDataFrame([("a", 1)], "key string, ts long").selectExpr(
+        "key", "timestamp_micros(ts) as ts"
+    )
+    build = probe.withColumn("v", F.lit(1.0))
+    plan = _formatted(asof_join(probe, build, on="key", ts="ts"))
+    assert plan.count(") Exchange") == 1
+    assert plan.count(") Window") == 1
+    assert plan.count(") Sort") == 1
+    # the union-window strategy is pure JVM (no Python-eval operators)
+    for op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert op not in plan
+
+
+def test_chunk_labels_broadcast_not_shuffled(tl_parquet):
+    plan = _formatted(chunked_tokenlist(tl_parquet, chunk_target=300, section="all"))
+    # both the label map and (with page_ref) bounds come back broadcast
+    assert "BroadcastHashJoin" in plan
+    # the only Python is the per-doc chunk labeler
+    assert plan.count(") FlatMapGroupsInPandas") == 1
+
+
+def test_salted_asof_replicates_build_not_probe(spark):
+    probe = spark.createDataFrame([("a", 1)], "key string, ts long").selectExpr(
+        "key", "timestamp_micros(ts) as ts"
+    )
+    build = probe.withColumn("v", F.lit(1.0))
+    plan = _formatted(asof_join(probe, build, on="key", ts="ts", salt=4))
+    assert ") Generate" in plan or "explode" in plan  # build replication
+    assert plan.count(") Window") == 1  # still one window pass
