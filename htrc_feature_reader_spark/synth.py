@@ -25,9 +25,6 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .schemas import SECTIONS
-
-
 def _h(seed: int, *cols):
     """Stable 64-bit mix of columns (xxhash64 — deterministic across runs)."""
     return F.xxhash64(*cols, F.lit(seed))

@@ -4,7 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from htrc_feature_reader_spark.corpus import Corpus
-from htrc_feature_reader_spark.errors import MissingDataError, MissingFieldError
+from htrc_feature_reader_spark.errors import MissingDataError
 from htrc_feature_reader_spark.operators.embeddings import weighted_embedding_average
 from htrc_feature_reader_spark.operators.vocab import remove_stopwords, restrict_to_vocab
 
