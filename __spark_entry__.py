@@ -194,6 +194,14 @@ def q_page_freq(spark, sf_dir):
     return out.select("doc_id", "token", F.col("count").alias("n_pages"))
 
 
+def q_term_doc_freqs(spark, sf_dir):
+    """A7 analog corpus-wide: #documents containing each token."""
+    tl = _doc_tokens(spark, sf_dir)
+    return tl.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+
+
 def q_tokens_min_count(spark, sf_dir):
     """A8+F5: distinct tokens with per-doc count >= 5."""
     tl = _doc_tokens(spark, sf_dir)
@@ -567,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenlist_corpus": q_tokenlist_corpus,
         "page_freq": q_page_freq,
         "tokens_min_count": q_tokens_min_count,
+        "term_doc_freqs": q_term_doc_freqs,
         "tokens_per_page": q_tokens_per_page,
         "term_page_pivot": q_term_page_pivot,
         "line_chars": q_line_chars,
@@ -664,6 +673,10 @@ def oracle_sql() -> dict[str, str]:
         "tokens_min_count": f"""
           SELECT doc_id, token
           FROM ({_SQL_TOKENS}) GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
+        "term_doc_freqs": f"""
+          SELECT token, count(DISTINCT doc_id) AS n_docs
+          FROM ({_SQL_TOKENS}) GROUP BY 1
         """,
         "tokens_per_page": f"""
           SELECT doc_id, page, count(*) AS cnt
