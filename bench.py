@@ -66,7 +66,8 @@ SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_ROWS", "1200000"))
 SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_DOCS", "4000"))
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "1"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
-SCALE_TMP = os.environ.get("SPARK_GRAFT_SCALE_TMP", "/dev/shm")
+_default_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+SCALE_TMP = os.environ.get("SPARK_GRAFT_SCALE_TMP", _default_tmp)
 SCALE_RUNS_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_LOW", "3"))
 SCALE_RUNS_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_HIGH", "4"))
 

@@ -76,6 +76,37 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tf_idf(
+    token_counts: DataFrame,
+    doc_col: str = "htid",
+    token_col: str = "token",
+    count_col: str = "count",
+) -> DataFrame:
+    """TF-IDF over a long token-count table: per (doc, token),
+    tf = count / doc_total, idf = ln((N + 1) / (df + 1)) + 1 (smoothed).
+
+    Source-level tf stats at corpus scale: two aggregations (doc totals,
+    document frequencies) and one broadcast join — the doc-frequency table
+    is vocabulary-sized. Exact-int aggregates; floats only in the final
+    per-row expression.
+    """
+    per = token_counts.groupBy(doc_col, token_col).agg(F.sum(count_col).alias("tc"))
+    doc_totals = per.groupBy(doc_col).agg(F.sum("tc").alias("doc_total"))
+    dfreq = per.groupBy(token_col).agg(F.countDistinct(doc_col).alias("df"))
+    n_docs = per.select(doc_col).distinct().count()
+    out = (
+        per.join(doc_totals, on=doc_col)
+        .join(F.broadcast(dfreq), on=token_col)
+        .withColumn("tf", F.col("tc") / F.col("doc_total"))
+        .withColumn(
+            "idf",
+            F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0,
+        )
+        .withColumn("tf_idf", F.col("tf") * F.col("idf"))
+    )
+    return out.select(doc_col, token_col, "tc", "tf", "df", "idf", "tf_idf")
+
+
 def normalized_fingerprint(text) -> Column:
     """Whitespace/case-normalized MD5 — near-dup fingerprint robust to
     formatting noise."""

@@ -1,0 +1,42 @@
+"""TF-IDF operator + Iceberg-gated source fallback."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from htrc_feature_reader_spark.operators.text import tf_idf
+from htrc_feature_reader_spark.sources.iceberg import (
+    current_snapshot_id,
+    iceberg_available,
+    read_sequences,
+)
+
+
+def test_tf_idf_values(spark):
+    rows = [
+        ("d1", "x", 2), ("d1", "y", 2),   # d1: 4 tokens
+        ("d2", "x", 1), ("d2", "z", 3),   # d2: 4 tokens
+    ]
+    tl = spark.createDataFrame(rows, "htid string, token string, count long")
+    out = {(r["htid"], r["token"]): r for r in tf_idf(tl).collect()}
+    # tf
+    assert out[("d1", "x")]["tf"] == 0.5
+    assert out[("d2", "z")]["tf"] == 0.75
+    # df and smoothed idf with N=2
+    assert out[("d1", "x")]["df"] == 2
+    assert abs(out[("d1", "x")]["idf"] - (math.log(3 / 3) + 1)) < 1e-12
+    assert abs(out[("d1", "y")]["idf"] - (math.log(3 / 2) + 1)) < 1e-12
+    # shared token scores below unique token at equal tf
+    assert out[("d1", "x")]["tf_idf"] < out[("d1", "y")]["tf_idf"]
+
+
+def test_iceberg_fallback_reads_parquet(spark, sequences_df, tmp_path):
+    assert not iceberg_available(spark)  # no runtime jars in this image
+    p = str(tmp_path / "seqs")
+    sequences_df.write.parquet(p)
+    back = read_sequences(spark, p, snapshot_id=123)  # snapshot ignored on parquet
+    assert back.count() == sequences_df.count()
+    sid = current_snapshot_id(spark, p)
+    assert sid.startswith("parquet-")
+    # content fingerprint is stable and changes with the data
+    assert sid == current_snapshot_id(spark, p)
