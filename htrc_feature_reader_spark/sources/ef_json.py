@@ -54,28 +54,25 @@ def tokenlist_from_ef(raw: DataFrame) -> DataFrame:
 
     Reference: _make_tokencount_df (parsers.py:342-382). The double explode
     unnests token -> {pos -> count} maps; output matches TOKENLIST_SCHEMA.
+
+    Single-scan shape: the three sections become an array<struct> exploded
+    in one pass — a per-section union would re-parse every JSON file three
+    times (measured 3x ingest cost on the reference corpus).
     """
     pages = _pages(raw)
-    parts = []
-    for sec in SECTIONS:
-        parts.append(
-            pages.select(
-                "htid",
-                "page",
-                F.lit(sec).alias("section"),
-                F.explode(f"pg.{sec}.tokenPosCount").alias("token", "posmap"),
-            ).select(
-                "htid",
-                "page",
-                "section",
-                "token",
-                F.explode("posmap").alias("pos", "count"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    sec_arr = F.array(*[
+        F.struct(F.lit(sec).alias("section"),
+                 F.col(f"pg.{sec}.tokenPosCount").alias("tpc"))
+        for sec in SECTIONS
+    ])
+    return (
+        pages.select("htid", "page", F.explode(sec_arr).alias("s"))
+        .filter(F.col("s.tpc").isNotNull())
+        .select("htid", "page", F.col("s.section").alias("section"),
+                F.explode("s.tpc").alias("token", "posmap"))
+        .select("htid", "page", "section", "token",
+                F.explode("posmap").alias("pos", "count"))
+    )
 
 
 def section_features_from_ef(raw: DataFrame) -> DataFrame:
@@ -85,24 +82,28 @@ def section_features_from_ef(raw: DataFrame) -> DataFrame:
     are dropped, matching the reference's per-section skip.
     """
     pages = _pages(raw)
-    parts = []
-    for sec in SECTIONS:
-        parts.append(
-            pages.filter(F.col(f"pg.{sec}").isNotNull()).select(
-                "htid",
-                "page",
-                F.lit(sec).alias("section"),
-                F.col(f"pg.{sec}.tokenCount").alias("tokenCount"),
-                F.col(f"pg.{sec}.lineCount").alias("lineCount"),
-                F.col(f"pg.{sec}.emptyLineCount").alias("emptyLineCount"),
-                F.col(f"pg.{sec}.capAlphaSeq").alias("capAlphaSeq"),
-                F.col(f"pg.{sec}.sentenceCount").alias("sentenceCount"),
-            )
+    sec_arr = F.array(*[
+        F.struct(
+            F.lit(sec).alias("section"),
+            F.col(f"pg.{sec}").isNotNull().alias("present"),
+            F.col(f"pg.{sec}.tokenCount").alias("tokenCount"),
+            F.col(f"pg.{sec}.lineCount").alias("lineCount"),
+            F.col(f"pg.{sec}.emptyLineCount").alias("emptyLineCount"),
+            F.col(f"pg.{sec}.capAlphaSeq").alias("capAlphaSeq"),
+            F.col(f"pg.{sec}.sentenceCount").alias("sentenceCount"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for sec in SECTIONS
+    ])
+    return (
+        pages.select("htid", "page", F.explode(sec_arr).alias("s"))
+        .filter(F.col("s.present"))
+        .select("htid", "page", F.col("s.section").alias("section"),
+                F.col("s.tokenCount").alias("tokenCount"),
+                F.col("s.lineCount").alias("lineCount"),
+                F.col("s.emptyLineCount").alias("emptyLineCount"),
+                F.col("s.capAlphaSeq").alias("capAlphaSeq"),
+                F.col("s.sentenceCount").alias("sentenceCount"))
+    )
 
 
 def page_features_from_ef(raw: DataFrame) -> DataFrame:
@@ -125,22 +126,19 @@ def line_chars_from_ef(raw: DataFrame) -> DataFrame:
     parsers.py:397-402 lists per-version variants).
     """
     pages = _pages(raw)
-    parts = []
-    for sec in SECTIONS:
-        for place, field in (("begin", "beginCharCounts"), ("end", "endCharCount")):
-            parts.append(
-                pages.select(
-                    "htid",
-                    "page",
-                    F.lit(sec).alias("section"),
-                    F.lit(place).alias("place"),
-                    F.explode(f"pg.{sec}.{field}").alias("char", "count"),
-                )
-            )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    sec_arr = F.array(*[
+        F.struct(F.lit(sec).alias("section"), F.lit(place).alias("place"),
+                 F.col(f"pg.{sec}.{field}").alias("cmap"))
+        for sec in SECTIONS
+        for place, field in (("begin", "beginCharCounts"), ("end", "endCharCount"))
+    ])
+    return (
+        pages.select("htid", "page", F.explode(sec_arr).alias("s"))
+        .filter(F.col("s.cmap").isNotNull())
+        .select("htid", "page", F.col("s.section").alias("section"),
+                F.col("s.place").alias("place"),
+                F.explode("s.cmap").alias("char", "count"))
+    )
 
 
 # MARC genre-term URI -> label (reference utils.py:7, applied at
