@@ -27,7 +27,7 @@ def asof_frames(draw):
 
 
 @pytest.mark.slow
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=12, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(frames=asof_frames())
 def test_asof_matches_merge_asof_property(spark, frames):
@@ -58,7 +58,7 @@ def test_asof_matches_merge_asof_property(spark, frames):
 
 
 @pytest.mark.slow
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=10, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     pages=st.booleans(),
