@@ -148,9 +148,12 @@ def _sequences_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     seqs = _sequences_from_events(spark, sf_dir)
+    # attach_payload=False: these queries output scalar features only, and
+    # the join-back would force the token arrays to be computed twice
+    # (Spark has no cross-branch common-subplan reuse)
     return build_pit_features(
         seqs, doc_col="doc_key", ts_col="ts", session_gap_s=3600.0,
-        tiebreak=["event_id"],
+        tiebreak=["event_id"], attach_payload=False,
     )
 
 
