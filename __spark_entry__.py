@@ -759,7 +759,7 @@ def oracle_sql() -> dict[str, str]:
           ON p.user_id = c.user_id AND p.ts <= c.ts
         """,
         "sessionize": """
-          SELECT user_id, max(sid) AS n_sessions FROM (
+          SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions FROM (
             SELECT user_id,
                    sum(CASE WHEN prev_ts IS NULL
                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
@@ -797,7 +797,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                   FROM events))
-          SELECT user_id, session_id, count(*) AS n_events,
+          SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
                  max(epoch_us(ts)/1000000.0) - min(epoch_us(ts)/1000000.0) AS dur_s
           FROM sess GROUP BY 1, 2
         """,
@@ -805,17 +805,17 @@ def oracle_sql() -> dict[str, str]:
           WITH seqs AS ({_SQL_SEQUENCES})
           SELECT doc_key, event_id, ts, n_tok, sum_tok,
                  count(*) OVER w_doc AS seq_idx,
-                 sum(n_tok) OVER w_doc AS cum_n_tok,
-                 sum(sum_tok) OVER w_doc AS cum_sum_tok,
+                 CAST(sum(n_tok) OVER w_doc AS BIGINT) AS cum_n_tok,
+                 CAST(sum(sum_tok) OVER w_doc AS BIGINT) AS cum_sum_tok,
                  (sum(n_tok) OVER w_doc) / (count(*) OVER w_doc) AS mean_n_tok,
                  (sum(sum_tok) OVER w_doc) / (sum(n_tok) OVER w_doc) AS mean_token_id,
-                 sum(n_tok) OVER w_src AS src_cum_n_tok,
-                 sum(n_tok) OVER w_doc_src AS doc_src_cum_n_tok,
+                 CAST(sum(n_tok) OVER w_src AS BIGINT) AS src_cum_n_tok,
+                 CAST(sum(n_tok) OVER w_doc_src AS BIGINT) AS doc_src_cum_n_tok,
                  (sum(n_tok) OVER w_doc_src) / (sum(n_tok) OVER w_src) AS src_share,
-                 sum(CASE WHEN prev_ts IS NULL
+                 CAST(sum(CASE WHEN prev_ts IS NULL
                           OR epoch_us(ts) - epoch_us(prev_ts) > 3600000000 THEN 1 ELSE 0 END)
                    OVER (PARTITION BY doc_key ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           FROM (SELECT *, lag(ts) OVER (PARTITION BY doc_key ORDER BY ts, event_id) AS prev_ts
                 FROM seqs)
           WINDOW w_doc AS (PARTITION BY doc_key ORDER BY ts),
@@ -827,8 +827,8 @@ def oracle_sql() -> dict[str, str]:
           feats AS (
             SELECT DISTINCT doc_key, ts,
                    count(*) OVER w_doc AS f_seq_idx,
-                   sum(n_tok) OVER w_doc AS f_cum_n_tok,
-                   sum(sum_tok) OVER w_doc AS f_cum_sum_tok,
+                   CAST(sum(n_tok) OVER w_doc AS BIGINT) AS f_cum_n_tok,
+                   CAST(sum(sum_tok) OVER w_doc AS BIGINT) AS f_cum_sum_tok,
                    (sum(sum_tok) OVER w_doc) / (sum(n_tok) OVER w_doc) AS f_mean_token_id
             FROM seqs
             WINDOW w_doc AS (PARTITION BY doc_key ORDER BY ts)),

@@ -44,6 +44,19 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     s, o = canon(sdf), canon(odf)
     for c in s.columns:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        # The driver's value hash is dtype-sensitive: an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT window sums surfacing as
+        # float) hash-mismatches even when values are equal. Flag it here.
+        s_int = np.issubdtype(sv.dtype, np.integer)
+        o_int = np.issubdtype(ov.dtype, np.integer)
+        s_flt = np.issubdtype(sv.dtype, np.floating)
+        o_flt = np.issubdtype(ov.dtype, np.floating)
+        if (s_int and o_flt) or (s_flt and o_int):
+            problems.append(
+                f"col {c}: dtype drift spark={sv.dtype} oracle={ov.dtype} "
+                "(driver hash is dtype-sensitive; CAST the oracle side)"
+            )
+            continue
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
             sv = sv.astype(float); ov = ov.astype(float)
             both_nan = np.isnan(sv) & np.isnan(ov)
