@@ -83,21 +83,73 @@ LINE_CHARS_SCHEMA = T.StructType(
     ]
 )
 
-# Volumes dimension: the reference's ~30 bibliographic metadata fields
-# (parsers.py:145-174) become one row per htid. We carry the commonly-used
-# subset; extra fields ride along in ``extra`` for lossless ingest.
+# Volumes dimension: the reference's full bibliographic metadata surface
+# (parsers.py:145-174: METADATA_FIELDS + METADATA_FIELDS_1_3 +
+# METADATA_FIELDS_3_0, with the `_ld` name flattening of :220-242) becomes
+# one row per htid. Era-specific fields are null for the other era; the raw
+# metadata subtree rides along losslessly in ``extra`` (VariantType).
+_LD_ENTITY = T.StructType(
+    [
+        T.StructField("id", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("type", T.StringType(), True),
+    ]
+)
+
 VOLUMES_SCHEMA = T.StructType(
     [
         T.StructField("htid", T.StringType(), False),
+        # METADATA_FIELDS (all eras, parsers.py:145-152)
+        T.StructField("metadata_schema_version", T.StringType(), True),
+        T.StructField("enumeration_chronology", T.StringType(), True),
+        T.StructField("type_of_resource", T.StringType(), True),
         T.StructField("title", T.StringType(), True),
+        T.StructField("date_created", T.StringType(), True),
         T.StructField("pub_date", T.StringType(), True),
         T.StructField("language", T.StringType(), True),
-        T.StructField("page_count", T.LongType(), True),
-        T.StructField("names", T.ArrayType(T.StringType()), True),
-        T.StructField("genre", T.ArrayType(T.StringType()), True),
-        T.StructField("source_institution", T.StringType(), True),
         T.StructField("access_profile", T.StringType(), True),
-        T.StructField("schema_version", T.StringType(), True),
+        T.StructField("isbn", T.ArrayType(T.StringType()), True),
+        T.StructField("issn", T.ArrayType(T.StringType()), True),
+        T.StructField("lccn", T.ArrayType(T.StringType()), True),
+        T.StructField("oclc", T.ArrayType(T.StringType()), True),
+        T.StructField("page_count", T.LongType(), True),
+        T.StructField("feature_schema_version", T.StringType(), True),
+        # METADATA_FIELDS_1_3 (schema 2.0/3.0 era, parsers.py:154-165)
+        T.StructField("ht_bib_url", T.StringType(), True),
+        T.StructField("genre", T.ArrayType(T.StringType()), True),
+        T.StructField("handle_url", T.StringType(), True),
+        T.StructField("imprint", T.StringType(), True),
+        T.StructField("names", T.ArrayType(T.StringType()), True),
+        T.StructField("id", T.StringType(), True),
+        T.StructField("source_institution", T.StringType(), True),
+        T.StructField("classification", T.MapType(T.StringType(), T.ArrayType(T.StringType())), True),
+        T.StructField("issuance", T.StringType(), True),
+        T.StructField("bibliographic_format", T.StringType(), True),
+        T.StructField("government_document", T.BooleanType(), True),
+        T.StructField("hathitrust_record_number", T.StringType(), True),
+        T.StructField("rights_attributes", T.StringType(), True),
+        T.StructField("pub_place", T.StringType(), True),
+        T.StructField("volume_identifier", T.StringType(), True),
+        T.StructField("source_institution_record_number", T.StringType(), True),
+        T.StructField("last_update_date", T.StringType(), True),
+        # METADATA_FIELDS_3_0 (JSON-LD era, parsers.py:167-174) + flattening
+        T.StructField("access_rights", T.StringType(), True),
+        T.StructField("alternate_title", T.ArrayType(T.StringType()), True),
+        T.StructField("category", T.ArrayType(T.StringType()), True),
+        T.StructField("genre_ld", T.ArrayType(T.StringType()), True),
+        T.StructField("contributor_ld", T.ArrayType(_LD_ENTITY), True),
+        T.StructField("contributor", T.ArrayType(T.StringType()), True),
+        T.StructField("source_institution_ld", _LD_ENTITY, True),
+        T.StructField("lcc", T.ArrayType(T.StringType()), True),
+        T.StructField("type", T.ArrayType(T.StringType()), True),
+        T.StructField("is_part_of", T.VariantType(), True),
+        T.StructField("last_rights_update_date", T.StringType(), True),
+        T.StructField("pub_place_ld", _LD_ENTITY, True),
+        T.StructField("main_entity_of_page", T.ArrayType(T.StringType()), True),
+        T.StructField("publisher_ld", _LD_ENTITY, True),
+        T.StructField("publisher", T.StringType(), True),
+        # lossless raw metadata subtree
+        T.StructField("extra", T.VariantType(), True),
     ]
 )
 
@@ -119,9 +171,15 @@ _EF_SECTION = T.StructType(
             T.MapType(T.StringType(), T.MapType(T.StringType(), T.LongType())),
             True,
         ),
-        # schema 3.0 names (parsers.py:397-402); older variants handled at ingest
+        # per-version line-char key names (parsers.py:397-402):
+        # '3.0' -> beginCharCounts/endCharCount; the URL schema ->
+        # beginCharCount/endCharCount; <=2.0 -> beginLineChars/endLineChars.
+        # All variants are declared so one scan serves any corpus era.
         T.StructField("beginCharCounts", T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("beginCharCount", T.MapType(T.StringType(), T.LongType()), True),
         T.StructField("endCharCount", T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("beginLineChars", T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("endLineChars", T.MapType(T.StringType(), T.LongType()), True),
     ]
 )
 
@@ -145,21 +203,12 @@ EF_JSON_SCHEMA = T.StructType(
     [
         T.StructField("id", T.StringType(), True),
         T.StructField("htid", T.StringType(), True),
-        T.StructField(
-            "metadata",
-            T.StructType(
-                [
-                    T.StructField("title", T.StringType(), True),
-                    T.StructField("pubDate", T.StringType(), True),
-                    T.StructField("language", T.StringType(), True),
-                    T.StructField("names", T.ArrayType(T.StringType()), True),
-                    T.StructField("genre", T.ArrayType(T.StringType()), True),
-                    T.StructField("sourceInstitution", T.StringType(), True),
-                    T.StructField("accessProfile", T.StringType(), True),
-                ]
-            ),
-            True,
-        ),
+        # The metadata subtree is era-polymorphic: the same key can be a
+        # string in 2.0/3.0 files and a JSON-LD object (or object list) in
+        # URL-schema files (parsers.py:154-174). VariantType reads every era
+        # in ONE scan losslessly; volumes_from_ef extracts typed columns
+        # with try_variant_get, dispatched on features.schemaVersion.
+        T.StructField("metadata", T.VariantType(), True),
         T.StructField(
             "features",
             T.StructType(

@@ -1,4 +1,5 @@
 from .ef_json import (  # noqa: F401
+    check_schema_versions,
     read_ef_json,
     tokenlist_from_ef,
     section_features_from_ef,

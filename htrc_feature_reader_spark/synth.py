@@ -150,12 +150,21 @@ def generate_tokenlist(
     )
 
 
-def make_ef_volume_dict(htid: str, n_pages: int = 15, seed: int = 42) -> dict:
-    """One EF-JSON v3.0 volume as a plain dict (FIXTURES.md T6 layout).
+def make_ef_volume_dict(htid: str, n_pages: int = 15, seed: int = 42,
+                        era: str = "3.0") -> dict:
+    """One EF-JSON volume as a plain dict (FIXTURES.md T6 layout).
 
     Driver-side (tiny fixture data only). Includes a zero-token page (page 2)
     and null header/footer sections on some pages, matching the shape quirks
     of the reference fixture green-gables-15pages.json.
+
+    ``era`` selects the schema generation (reference parsers.py:140,154-174,
+    397-402):
+      - "3.0" (default): schemaVersion 3.0, 1.3-era metadata,
+        beginCharCounts/endCharCount line-char keys
+      - "2.0": legacy metadata, beginLineChars/endLineChars keys
+      - "ld": the URL schema, JSON-LD metadata (entity objects,
+        scalar-or-list polymorphism), beginCharCount/endCharCount keys
     """
 
     def det(a: int, b: int, mod: int) -> int:
@@ -183,6 +192,11 @@ def make_ef_volume_dict(htid: str, n_pages: int = 15, seed: int = 42) -> dict:
                 total += c
             begin = {chr(ord("a") + det(p, sec_i * 11 + k, 26)): 1 + det(p, k, 3) for k in range(4)}
             end = {".": 1 + det(p, sec_i, 4), chr(ord("a") + det(p, sec_i + 50, 26)): 1}
+            begin_key, end_key = {
+                "3.0": ("beginCharCounts", "endCharCount"),
+                "ld": ("beginCharCount", "endCharCount"),
+                "2.0": ("beginLineChars", "endLineChars"),
+            }[era]
             return {
                 "tokenCount": total,
                 "lineCount": 5 + det(p, sec_i, 20),
@@ -190,8 +204,8 @@ def make_ef_volume_dict(htid: str, n_pages: int = 15, seed: int = 42) -> dict:
                 "sentenceCount": 1 + det(p, sec_i + 2, 12),
                 "capAlphaSeq": det(p, sec_i + 3, 6),
                 "tokenPosCount": tpc,
-                "beginCharCounts": begin,
-                "endCharCount": end,
+                begin_key: begin,
+                end_key: end,
             }
 
         zero_page = p == 2
@@ -214,9 +228,44 @@ def make_ef_volume_dict(htid: str, n_pages: int = 15, seed: int = 42) -> dict:
                 "footer": footer,
             }
         )
-    return {
-        "htid": htid,
-        "metadata": {
+    if era == "ld":
+        # JSON-LD metadata (URL schema): entity objects, scalar-or-list
+        # polymorphism, URI genres (reference parsers.py:167-174,220-242)
+        metadata = {
+            "schemaVersion": "2.0",
+            "title": f"Synthetic Volume {htid}",
+            "alternateTitle": f"Alt {htid}",  # scalar (wrap-to-list path)
+            "pubDate": 1908,  # LD files carry ints
+            "language": "en",
+            "accessProfile": "open",
+            "accessRights": "pd",
+            "category": ["Literature", "Fiction"],
+            "genre": ["http://id.loc.gov/vocabulary/marcgt/nov",
+                      "http://id.loc.gov/vocabulary/marcgt/fic"],
+            "contributor": {"id": "http://www.viaf.org/viaf/0",
+                            "name": "Synthetic, Author", "type": "Person"},
+            "publisher": {"id": "http://catalog.example/pub",
+                          "name": "Synthetic Press", "type": "Organization"},
+            "pubPlace": {"id": "http://id.loc.gov/vocabulary/countries/onc",
+                         "name": "Ontario", "type": "Place"},
+            "sourceInstitution": {"name": "SYN", "type": "Organization"},
+            "id": f"https://hdl.example/2027/{htid}",
+            "lcc": "PR9199.3",  # scalar (wrap-to-list path)
+            "type": ["DataFeedItem", "Book"],
+            "isPartOf": {"title": "Synthetic Series", "volume": 1},
+            "lastRightsUpdateDate": 20200209,
+            "mainEntityOfPage": [f"https://catalog.example/{htid}"],
+            "oclc": "320127250",  # scalar (wrap-to-list path)
+            "enumerationChronology": "v.1",
+            "typeOfResource": "http://id.loc.gov/ontologies/bibframe/Text",
+            "dateCreated": 20200301,
+        }
+        feature_schema = "https://schemas.hathitrust.org/EF_Schema_FeaturesSubSchema_v_3.0"
+        top_id = {"htid": htid}
+    else:
+        # 1.3-era metadata (reference parsers.py:145-165 field surface)
+        metadata = {
+            "schemaVersion": "1.3",
             "title": f"Synthetic Volume {htid}",
             "pubDate": "1908",
             "language": "en",
@@ -224,16 +273,44 @@ def make_ef_volume_dict(htid: str, n_pages: int = 15, seed: int = 42) -> dict:
             "genre": ["fiction"],
             "sourceInstitution": "SYN",
             "accessProfile": "open",
-        },
+            "dateCreated": "2016-06-19T02:14:20Z",
+            "enumerationChronology": "v.1",
+            "typeOfResource": "text",
+            "isbn": ["0665034075"],
+            "issn": [],
+            "lccn": [],
+            "oclc": ["320127250"],
+            "htBibUrl": f"http://catalog.example/api/volumes/full/htid/{htid}.json",
+            "handleUrl": f"http://hdl.example/2027/{htid}",
+            "imprint": "Synthetic Press, 1908.",
+            "classification": {"ddc": ["813.52"]},
+            "issuance": "monographic",
+            "bibliographicFormat": "BK",
+            "governmentDocument": False,
+            "hathitrustRecordNumber": "0000001",
+            "rightsAttributes": "pd",
+            "pubPlace": "onc",
+            "volumeIdentifier": htid,
+            "sourceInstitutionRecordNumber": "2480325",
+            "lastUpdateDate": "2010-04-29 20:31:43",
+        }
+        feature_schema = era
+        # legacy files carry a top-level 'id' (reference field map '.id',
+        # parsers.py:155); only LD files use '.htid'
+        top_id = {"id": htid}
+    return {
+        **top_id,
+        "metadata": metadata,
         "features": {
-            "schemaVersion": "3.0",
+            "schemaVersion": feature_schema,
             "pageCount": n_pages,
             "pages": pages,
         },
     }
 
 
-def write_ef_json_fixtures(path: str, n_volumes: int = 3, seed: int = 42) -> list[str]:
+def write_ef_json_fixtures(path: str, n_volumes: int = 3, seed: int = 42,
+                           era: str = "3.0") -> list[str]:
     """Write newline-delimited EF-JSON volume files; returns file paths."""
     import os
 
@@ -243,6 +320,6 @@ def write_ef_json_fixtures(path: str, n_volumes: int = 3, seed: int = 42) -> lis
         htid = f"syn.vol{v:03d}"
         fp = os.path.join(path, f"{htid}.json")
         with open(fp, "w") as f:
-            json.dump(make_ef_volume_dict(htid, n_pages=10 + v, seed=seed + v), f)
+            json.dump(make_ef_volume_dict(htid, n_pages=10 + v, seed=seed + v, era=era), f)
         out.append(fp)
     return out

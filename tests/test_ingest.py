@@ -33,7 +33,7 @@ def test_volumes_metadata(ef_raw):
     assert v["pub_date"] == "1908"
     assert v["page_count"] == 10
     assert v["genre"] == ["fiction"]
-    assert v["schema_version"] == "3.0"
+    assert v["feature_schema_version"] == "3.0"
 
 
 def test_tokenlist_explode_matches_fixture_dicts(ef_raw):
@@ -56,7 +56,8 @@ def test_tokenlist_explode_matches_fixture_dicts(ef_raw):
                     continue
                 for tok, posmap in block["tokenPosCount"].items():
                     for pos, c in posmap.items():
-                        expect[(vol["htid"], int(pg["seq"]), sec, tok, pos)] = c
+                        vid = vol.get("htid") or vol["id"]
+                        expect[(vid, int(pg["seq"]), sec, tok, pos)] = c
     assert got == expect
 
 
@@ -125,3 +126,123 @@ def test_quad_chunked_write(spark, ef_raw, tmp_path):
     back = read_quad(spark, str(tmp_path / "chunked"), "tokens")
     assert "chunk" in back.columns and "page" not in back.columns
     assert back.agg(F.sum("count")).first()[0] == tl.agg(F.sum("count")).first()[0]
+
+
+# ---------------------------------------------------------------------------
+# Full metadata surface (S6): all three reference field maps
+# (parsers.py:145-174) + `_ld` flattening (:220-242), era-dispatched.
+
+
+def test_volumes_metadata_full_legacy(ef_raw):
+    v = {r["htid"]: r for r in volumes_from_ef(ef_raw).collect()}["syn.vol000"]
+    # METADATA_FIELDS
+    assert v["metadata_schema_version"] == "1.3"
+    assert v["enumeration_chronology"] == "v.1"
+    assert v["type_of_resource"] == "text"
+    assert v["date_created"] == "2016-06-19T02:14:20Z"
+    assert v["isbn"] == ["0665034075"] and v["oclc"] == ["320127250"]
+    assert v["issn"] == [] and v["lccn"] == []
+    # METADATA_FIELDS_1_3
+    assert v["ht_bib_url"].endswith("syn.vol000.json")
+    assert v["handle_url"] == "http://hdl.example/2027/syn.vol000"
+    assert v["imprint"] == "Synthetic Press, 1908."
+    assert v["id"] == "syn.vol000"
+    assert v["source_institution"] == "SYN"
+    assert v["classification"] == {"ddc": ["813.52"]}
+    assert v["issuance"] == "monographic"
+    assert v["bibliographic_format"] == "BK"
+    assert v["government_document"] is False
+    assert v["hathitrust_record_number"] == "0000001"
+    assert v["rights_attributes"] == "pd"
+    assert v["pub_place"] == "onc"
+    assert v["volume_identifier"] == "syn.vol000"
+    assert v["source_institution_record_number"] == "2480325"
+    assert v["last_update_date"] == "2010-04-29 20:31:43"
+    # legacy genre passes through unmapped (mapping is LD-only, parsers.py:227-236)
+    assert v["genre"] == ["fiction"]
+    # LD-only columns are null in the legacy era
+    for ld_col in ("access_rights", "contributor", "publisher", "lcc",
+                   "genre_ld", "pub_place_ld", "source_institution_ld"):
+        assert v[ld_col] is None, ld_col
+    # lossless raw subtree
+    import json as _json
+    assert _json.loads(str(v["extra"]))["pubPlace"] == "onc"
+
+
+@pytest.fixture(scope="module")
+def ef_raw_ld(spark, tmp_path_factory):
+    from htrc_feature_reader_spark.synth import write_ef_json_fixtures
+
+    d = tmp_path_factory.mktemp("ef_ld")
+    write_ef_json_fixtures(str(d), n_volumes=2, era="ld")
+    return read_ef_json(spark, str(d)).cache()
+
+
+def test_volumes_metadata_full_ld(ef_raw_ld):
+    v = {r["htid"]: r for r in volumes_from_ef(ef_raw_ld).collect()}["syn.vol000"]
+    assert v["metadata_schema_version"] == "2.0"
+    assert v["feature_schema_version"].startswith("https://schemas.hathitrust.org/")
+    assert v["pub_date"] == "1908"  # int in LD files, normalized to string
+    assert v["access_rights"] == "pd"
+    assert v["alternate_title"] == ["Alt syn.vol000"]  # scalar wrapped to list
+    assert v["category"] == ["Literature", "Fiction"]
+    # genre: LD URIs map through the LOC MARC genre-term table (utils.py:7)
+    assert v["genre"] == ["novel", "fiction"]
+    assert v["genre_ld"] == ["http://id.loc.gov/vocabulary/marcgt/nov",
+                             "http://id.loc.gov/vocabulary/marcgt/fic"]
+    # `_ld` flattening: entity objects contribute their name
+    assert v["contributor"] == ["Synthetic, Author"]
+    assert v["contributor_ld"][0]["type"] == "Person"
+    assert v["publisher"] == "Synthetic Press"
+    assert v["pub_place"] == "Ontario"
+    assert v["source_institution"] == "SYN"
+    assert v["source_institution_ld"]["type"] == "Organization"
+    assert v["handle_url"] == "https://hdl.example/2027/syn.vol000"
+    assert v["id"] == "syn.vol000"
+    assert v["lcc"] == ["PR9199.3"]  # scalar wrapped to list
+    assert v["type"] == ["DataFeedItem", "Book"]
+    assert v["last_rights_update_date"] == "20200209"
+    assert v["main_entity_of_page"] == ["https://catalog.example/syn.vol000"]
+    assert v["oclc"] == ["320127250"]  # scalar wrapped to list
+    import json as _json
+    assert _json.loads(str(v["is_part_of"]))["title"] == "Synthetic Series"
+    # legacy-only columns are null in the LD era
+    for old_col in ("ht_bib_url", "imprint", "names", "issuance",
+                    "government_document", "volume_identifier"):
+        assert v[old_col] is None, old_col
+
+
+def test_line_chars_era_key_dispatch(spark, tmp_path_factory):
+    """The three per-era line-char key spellings (parsers.py:397-402) all
+    land in the same (place, char, count) rows."""
+    from htrc_feature_reader_spark.synth import write_ef_json_fixtures
+
+    counts = {}
+    for era in ("3.0", "ld", "2.0"):
+        d = tmp_path_factory.mktemp(f"ef_{era.replace('.', '_')}")
+        write_ef_json_fixtures(str(d), n_volumes=1, era=era)
+        lc = line_chars_from_ef(read_ef_json(spark, str(d)))
+        counts[era] = {
+            (r["page"], r["section"], r["place"], r["char"]): r["count"]
+            for r in lc.collect()
+        }
+    assert counts["3.0"] == counts["ld"] == counts["2.0"]
+    assert len(counts["3.0"]) > 0
+    assert {p for (_, _, p, _) in counts["3.0"]} == {"begin", "end"}
+
+
+def test_schema_version_gate(spark, tmp_path_factory):
+    from htrc_feature_reader_spark.sources import check_schema_versions
+    from htrc_feature_reader_spark.sources.ef_json import UnsupportedSchemaVersion
+    from htrc_feature_reader_spark.synth import write_ef_json_fixtures
+
+    ok = tmp_path_factory.mktemp("ef_ok")
+    write_ef_json_fixtures(str(ok), n_volumes=1, era="3.0")
+    census = check_schema_versions(read_ef_json(spark, str(ok)),
+                                   raise_on_unsupported=True).collect()
+    assert [(r["schema_version"], r["n_volumes"]) for r in census] == [("3.0", 1)]
+
+    bad = tmp_path_factory.mktemp("ef_bad")
+    write_ef_json_fixtures(str(bad), n_volumes=1, era="2.0")
+    with pytest.raises(UnsupportedSchemaVersion):
+        read_ef_json(spark, str(bad), validate=True)

@@ -76,7 +76,7 @@ def test_metadata_golden(spark):
     assert v["pub_date"] == "1908"
     assert v["page_count"] == 414
     assert v["language"] == "eng"
-    assert v["schema_version"] == "3.0"
+    assert v["feature_schema_version"] == "3.0"
 
 
 def test_full_volume_and_chunk_goldens(spark):
