@@ -37,6 +37,7 @@ from htrc_feature_reader_spark.operators import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    remove_stop_shingles,
     sessionize,
     shingle_ids,
     simhash,
@@ -106,6 +107,17 @@ _SQL_SHINGLES = """
          unnest(list_transform(range(0, greatest(len(l) - 2, 0)),
                                i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+"""
+
+# stop-shingle cap (default in the near-dup entry paths): drop shingles in
+# > 50% of docs — they carry no similarity signal and make LSH buckets /
+# shared-shingle join keys quadratic at corpus scale
+_SQL_SHINGLES_CAPPED = f"""
+  SELECT sh.doc_id, sh.shingle FROM ({_SQL_SHINGLES}) sh
+  ANTI JOIN (
+    SELECT shingle FROM ({_SQL_SHINGLES}) GROUP BY shingle
+    HAVING count(*) > 0.5 * (SELECT count(DISTINCT doc_id) FROM ({_SQL_SHINGLES}))
+  ) stop USING (shingle)
 """
 
 # sequences derived deterministically from events (north-rule input shape;
@@ -434,24 +446,31 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    """n-gram Jaccard near-dup pairs (3-word shingles, tau=0.2)."""
+    """n-gram Jaccard near-dup pairs (3-word shingles, tau=0.2), with the
+    stop-shingle cap on (shingles in > 50% of docs dropped before the
+    shared-shingle join — the guard that keeps the join non-quadratic on
+    boilerplate shingles at corpus scale)."""
     docs = _t(spark, sf_dir, "documents")
     sh = word_shingles(docs, "text", "doc_id", n=3)
+    sh = remove_stop_shingles(sh, max_df_frac=0.5)
     return jaccard_pairs(sh, threshold=0.2).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jacc"
     )
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash(8) + LSH(4 bands x 2 rows) candidate pairs.
+    """MinHash(8) + LSH(4 bands x 2 rows) candidate pairs, stop-shingle
+    cap on (> 50%-of-corpus shingles dropped — one viral shingle would
+    otherwise put every doc carrying it into one quadratic LSH bucket).
 
-    Shingle ids come from the shuffle-free rolling hash (map-side, engine-
-    portable) — no vocabulary build, no global sort."""
-    from htrc_feature_reader_spark.operators.text import rolling_hash
+    Shingle ids come from the shuffle-free word-composed rolling hash
+    (map-side, engine-portable, one char pass per doc) — no shingle
+    strings materialized, no vocabulary build, no global sort."""
+    from htrc_feature_reader_spark.operators.dedup import word_shingle_ids
 
     docs = _t(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "text", "doc_id", n=3)
-    ds = sh.select("id", rolling_hash("shingle").alias("shingle_id"))
+    ds = word_shingle_ids(docs, "text", "doc_id", n=3)
+    ds = remove_stop_shingles(ds, max_df_frac=0.5, shingle_col="shingle_id")
     sigs = minhash_signatures(ds, n_hashes=_MH_N, seed=_MH_SEED)
     return lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
@@ -521,19 +540,58 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+# embedding near-dup LSH parameters — the operator's real operating point
+# (8 tables x 8 sign bits, tau=0.9), shared between the Spark query and
+# the generated DuckDB oracle: the CANDIDATE SET, not just the cosines, is
+# engine-identical by construction. The synthetic embeddings have no true
+# near-dups (unit-norm, max pairwise cos ~0.55), so the query plants them
+# deterministically: each vector is unioned with a perturbed copy
+# v' = v + EPS * noise_v, with noise_v a per-vector pseudo-uniform [-1,1)
+# vector (the dim index is mixed with vec_id so different vectors get
+# independent noise) — |noise| ~ sqrt(64/3) = 4.6, so cos(v, v') ~
+# 1/sqrt(1 + (EPS*4.6)^2) ~ 0.95, while perturbed copies of DIFFERENT
+# vectors stay near the base similarity (< 0.6). Same exact arithmetic on
+# both engines; the miner must recover the planted pairs through the
+# banded (non-cartesian) path.
+_NDP_TABLES, _NDP_BITS, _NDP_TAU = 8, 8, 0.9
+_NDP_EPS = 0.07
+_NDP_NOISE_SEED = 777
+_NDP_ID_OFFSET = 1_000_000
+_NDP_ID_MIX = 4_099  # noise index stride per vec_id (keeps a*x < 2^62)
+
+
 def q_embedding_near_dup(spark, sf_dir):
-    """embedding-cosine near-dup pairs (dedup mode over the vectors table):
-    all pairs with cosine >= 0.2, exact brute force."""
-    from htrc_feature_reader_spark.operators.similarity import cosine
+    """embedding-cosine near-dup pairs via multi-table hyperplane banding —
+    the scale path (no CartesianProduct; candidate cost is per-bucket, not
+    corpus^2). Candidates collide in >= 1 of 8 signature tables; exact
+    cosine runs once per distinct candidate pair."""
+    from htrc_feature_reader_spark.operators.similarity import (
+        near_dup_pairs, ndp_component, ndp_plane_coeffs,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
-        .filter(F.round("cos", 6) >= 0.2)
+    na, nb = ndp_plane_coeffs(1, 1, seed=_NDP_NOISE_SEED)[0]
+    noise = F.transform(
+        F.sequence(F.lit(0), F.size("embedding") - 1),
+        lambda i: ndp_component(na, nb, i + F.col("vec_id") * _NDP_ID_MIX),
+    )
+    orig = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # offset the id in a SECOND select: naming the offset id `vec_id` in the
+    # same list would lateral-alias-capture the `vec_id` reference inside the
+    # noise lambda (Spark resolves later select-list references against
+    # earlier aliases first) and perturb with the wrong per-vector noise
+    pert = emb.select(
+        "vec_id",
+        F.zip_with(
+            "embedding", noise, lambda x, c: x.cast("double") + F.lit(_NDP_EPS) * c
+        ).alias("embedding"),
+    ).select((F.col("vec_id") + _NDP_ID_OFFSET).alias("vec_id"), "embedding")
+    pairs = near_dup_pairs(
+        orig.unionByName(pert), threshold=_NDP_TAU,
+        n_tables=_NDP_TABLES, band_bits=_NDP_BITS, seed=_MH_SEED,
     )
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos4"))
 
@@ -629,11 +687,66 @@ def _minhash_sql() -> str:
     )
     sid = _SQL_ROLLHASH.format(col="shingle")
     return f"""
-      WITH sh AS ({_SQL_SHINGLES}),
+      WITH sh AS ({_SQL_SHINGLES_CAPPED}),
       ds AS (SELECT doc_id, {sid} AS sid FROM sh),
       mh AS (SELECT doc_id, {hash_exprs} FROM ds GROUP BY doc_id)
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_conds})
+    """
+
+
+def _near_dup_sql() -> str:
+    """DuckDB replica of the banded embedding near-dup pipeline: identical
+    integer-derived perturbation + hyperplanes (ndp_plane_coeffs), identical
+    sign-bit signatures (sign taken after round(.,6) on both engines), so
+    the candidate set — not just the final cosine — is value-checked."""
+    from htrc_feature_reader_spark.operators.similarity import (
+        _NDP_MIX, _NDP_PRIME, ndp_plane_coeffs,
+    )
+
+    def comp_sql(a: int, b: int) -> str:
+        return (f"((({a} * (((i+1) * {_NDP_MIX}) % {_NDP_PRIME}) + {b})"
+                f" % {_NDP_PRIME}) % 2000001 - 1000000) / 1000000.0")
+
+    na, nb = ndp_plane_coeffs(1, 1, seed=_NDP_NOISE_SEED)[0]
+    coeffs = ndp_plane_coeffs(_NDP_TABLES, _NDP_BITS, _MH_SEED)
+    sig_exprs = []
+    for t in range(_NDP_TABLES):
+        bits = []
+        for p in range(_NDP_BITS):
+            a, b = coeffs[t * _NDP_BITS + p]
+            proj = ("list_sum(list_transform(range(0, len(embedding)), "
+                    f"i -> embedding[i+1] * ({comp_sql(a, b)})))")
+            bits.append(f"(CASE WHEN round({proj}, 6) > 0 THEN {1 << p} ELSE 0 END)")
+        sig_exprs.append("(" + " + ".join(bits) + f") AS s{t}")
+    sig_list = ", ".join(f"s{t}" for t in range(_NDP_TABLES))
+    return f"""
+      WITH aug AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_NDP_ID_OFFSET},
+               list_transform(range(0, len(embedding)),
+                 i -> CAST(embedding[i+1] AS DOUBLE) +
+                      {_NDP_EPS} * ({comp_sql(na, nb).replace("(i+1)", f"(i + vec_id * {_NDP_ID_MIX} + 1)")}))
+        FROM embeddings),
+      sigs AS (SELECT vec_id, {", ".join(sig_exprs)} FROM aug),
+      banded AS (
+        SELECT vec_id, t.i AS band, [{sig_list}][t.i + 1] AS sig
+        FROM sigs, range(0, {_NDP_TABLES}) t(i)),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT id_a, id_b,
+               list_dot_product(ea.embedding, eb.embedding) /
+                 (sqrt(list_dot_product(ea.embedding, ea.embedding)) *
+                  sqrt(list_dot_product(eb.embedding, eb.embedding))) AS cos
+        FROM cand
+        JOIN aug ea ON ea.vec_id = id_a
+        JOIN aug eb ON eb.vec_id = id_b)
+      SELECT id_a, id_b, round(cos, 4) AS cos4
+      FROM scored WHERE round(cos, 6) >= {_NDP_TAU}
     """
 
 
@@ -846,7 +959,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents GROUP BY 1
         """,
         "jaccard_pairs": f"""
-          WITH sh AS ({_SQL_SHINGLES}),
+          WITH sh AS ({_SQL_SHINGLES_CAPPED}),
           sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
           common AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -908,13 +1021,5 @@ def oracle_sql() -> dict[str, str]:
           WHERE token NOT IN {_STOPWORDS!r}
           GROUP BY 1, 2
         """,
-        "embedding_near_dup": """
-          SELECT id_a, id_b, round(cos, 4) AS cos4 FROM (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cos
-            FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
-          WHERE round(cos, 6) >= 0.2
-        """,
+        "embedding_near_dup": _near_dup_sql(),
     }

@@ -138,43 +138,55 @@ class Corpus:
             min_count=min_count, doc_col=self.doc_col,
         )
 
-    def tokens_per_page(self) -> DataFrame:
+    def _section(self, section: str) -> str:
+        """'default' inherits default_page_section ('body'), exactly like
+        the reference (feature_reader.py:349,491,686,814)."""
+        return self.default_section if section == "default" else section
+
+    def tokens_per_page(self, section: str = "default") -> DataFrame:
         return tokens_per_page(
             self._need(self._tokens, "tokenlist"),
             section_features=self._sections, doc_col=self.doc_col,
+            section=self._section(section),
         )
 
     def term_volume_freqs(self, page_freq: bool = True, pos: bool = True,
-                          case: bool = True) -> DataFrame:
+                          case: bool = True,
+                          section: str = "default") -> DataFrame:
         return term_volume_freqs(
             self._need(self._tokens, "tokenlist"), page_freq=page_freq,
             pos=pos, case=case, doc_col=self.doc_col,
+            section=self._section(section),
         )
 
     def term_page_freqs(self, page_freq: bool = True, case: bool = True,
-                        token_values: list[str] | None = None) -> DataFrame:
+                        token_values: list[str] | None = None,
+                        section: str = "default") -> DataFrame:
         return term_page_freqs(
             self._need(self._tokens, "tokenlist"), page_freq=page_freq,
             case=case, doc_col=self.doc_col, token_values=token_values,
+            section=self._section(section),
         )
 
-    def section_features(self, section: str = "all", feature: str | None = None,
+    def section_features(self, section: str = "default", feature: str | None = None,
                          page_select: int | None = None) -> DataFrame:
         return fold_section_features(
-            self._need(self._sections, "section features"), section=section,
+            self._need(self._sections, "section features"),
+            section=self._section(section),
             feature=feature, page_select=page_select, doc_col=self.doc_col,
         )
 
-    def line_chars(self, section: str = "all", place: str = "all") -> DataFrame:
+    def line_chars(self, section: str = "default", place: str = "all") -> DataFrame:
         return fold_linechars(
-            self._need(self._chars, "line chars"), section=section,
+            self._need(self._chars, "line chars"),
+            section=self._section(section),
             place=place, doc_col=self.doc_col,
         )
 
-    def begin_line_chars(self, section: str = "all") -> DataFrame:
+    def begin_line_chars(self, section: str = "default") -> DataFrame:
         return self.line_chars(section=section, place="begin")
 
-    def end_line_chars(self, section: str = "all") -> DataFrame:
+    def end_line_chars(self, section: str = "default") -> DataFrame:
         return self.line_chars(section=section, place="end")
 
     # reference convenience wrappers (feature_reader.py:588-613)

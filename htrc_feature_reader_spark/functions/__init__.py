@@ -15,3 +15,20 @@ def ts_seconds(c: Column | str) -> Column:
     """
     c = F.col(c) if isinstance(c, str) else c
     return c.cast("timestamp").cast("double")
+
+
+def ts_micros(c: Column | str) -> Column:
+    """Event time as exact integer epoch microseconds (long) — the form all
+    window ordering, range framing, bucketing, and gap comparisons use.
+
+    Double epoch-seconds has a ~0.24 us ULP in the 2020s: a gap exactly
+    equal to a threshold can flip under float rounding, so order/frame/
+    compare on integer micros and divide to seconds only for output
+    columns. Works for TIMESTAMP, TIMESTAMP_NTZ, DATE, and numeric epoch
+    columns. The NTZ->LTZ cast reinterprets wall time in the session
+    timezone; the engine pins ``spark.sql.session.timeZone=UTC``
+    (session.py) so that reinterpretation is a DST-free identity — pin the
+    same if you bring your own session.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(c.cast("timestamp"))

@@ -16,11 +16,13 @@ from .dedup import (  # noqa: F401
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    remove_stop_shingles,
     shingle_ids,
     simhash,
+    word_shingle_ids,
     word_shingles,
 )
-from .similarity import cosine_topk, lsh_cosine_topk  # noqa: F401
+from .similarity import cosine_topk, lsh_cosine_topk, near_dup_pairs  # noqa: F401
 from .text import lang_id, quality_features  # noqa: F401
 from .vocab import remove_stopwords, restrict_to_vocab  # noqa: F401
 from .embeddings import weighted_embedding_average  # noqa: F401

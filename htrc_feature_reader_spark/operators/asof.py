@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import ts_seconds
+from ..functions import ts_micros
 
 
 def choose_salt(
@@ -149,8 +149,11 @@ def asof_join(
     ).filter(F.col("__tag") == 1)
 
     if tolerance_s is not None:
-        delta = F.abs(ts_seconds(F.col("__ts")) - ts_seconds(F.col("__matched_ts")))
-        in_tol = F.col("__matched_ts").isNotNull() & (delta <= F.lit(float(tolerance_s)))
+        # exact integer-micros tolerance: a delta of exactly tolerance_s is
+        # in-tolerance on any engine (double seconds could flip it)
+        delta_us = F.abs(ts_micros(F.col("__ts")) - ts_micros(F.col("__matched_ts")))
+        tol_us = int(round(float(tolerance_s) * 1_000_000))
+        in_tol = F.col("__matched_ts").isNotNull() & (delta_us <= F.lit(tol_us))
         filled = filled.select(
             "*",
             *[

@@ -52,7 +52,7 @@ from pyspark.sql.window import Window
 
 from .windows import session_id_col
 
-from ..functions import ts_seconds
+from ..functions import ts_micros
 
 
 def distributed_prefix_sum(
@@ -71,12 +71,15 @@ def distributed_prefix_sum(
     ``sum(value) over (partition by key order by ts range unbounded
     preceding)`` — same exact-integer result, different physical plan.
     """
-    ts_s = ts_seconds(ts_col)
-    bucket = F.floor(ts_s / F.lit(float(bucket_s)))
-    df = df.withColumn("__bucket", bucket)
+    ts_us = ts_micros(ts_col)
+    bucket_us = int(round(float(bucket_s) * 1_000_000))
+    # exact integer floor-div (long/long in Spark is double division, which
+    # can misround at exact bucket boundaries for epoch-micros magnitudes)
+    bucket_col = ((ts_us - F.pmod(ts_us, F.lit(bucket_us))) / F.lit(bucket_us)).cast("long")
+    df = df.withColumn("__bucket", bucket_col)
     w_in = (
         Window.partitionBy(*key_cols, "__bucket")
-        .orderBy(ts_s)
+        .orderBy(ts_us)
         .rangeBetween(Window.unboundedPreceding, 0)
     )
     df = df.withColumn("__in_cum", F.sum(value_col).over(w_in))
@@ -126,16 +129,16 @@ def build_pit_features(
     collapse to one representative's row-ordered features — they are
     interchangeable, so cumulative features are unaffected.
     """
-    ts_s = ts_seconds(ts_col)
+    ts_us = ts_micros(ts_col)
 
     doc_range = (
         Window.partitionBy(doc_col)
-        .orderBy(ts_s)
+        .orderBy(ts_us)
         .rangeBetween(Window.unboundedPreceding, 0)
     )
     doc_src_range = (
         Window.partitionBy(doc_col, "source")
-        .orderBy(ts_s)
+        .orderBy(ts_us)
         .rangeBetween(Window.unboundedPreceding, 0)
     )
 
@@ -165,11 +168,12 @@ def build_pit_features(
         .withColumn("src_share", F.col("doc_src_cum_n_tok") / F.col("src_cum_n_tok"))
     )
 
-    # timeline features use a deterministic total order within ties
+    # timeline features use a deterministic total order within ties;
+    # the gap is computed in exact integer micros, divided out only here
     tb = tiebreak if tiebreak is not None else ["n_tok", "sum_tok"]
-    order_w = Window.partitionBy(doc_col).orderBy(ts_s, *[F.col(c) for c in tb])
+    order_w = Window.partitionBy(doc_col).orderBy(ts_us, *[F.col(c) for c in tb])
     df = df.withColumn(
-        "gap_s", ts_s - F.lag(ts_s).over(order_w)
+        "gap_s", (ts_us - F.lag(ts_us).over(order_w)) / F.lit(1_000_000.0)
     ).withColumn(
         "session_id",
         session_id_col(doc_col, ts_col, session_gap_s, tiebreak=tb).cast("long"),

@@ -93,6 +93,123 @@ def hyperplane_signature(
     return sig
 
 
+_NDP_PRIME = (1 << 31) - 1
+_NDP_MIX = 2_654_435_761
+
+
+def ndp_plane_coeffs(n_tables: int, band_bits: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for each (table, bit) hyperplane —
+    the same integer family the MinHash signatures use, so any engine
+    (including the DuckDB oracle) reproduces identical plane components and
+    therefore identical candidate sets."""
+    p = _NDP_PRIME
+    return [
+        (2 * ((seed * 1_000_003 + idx * 7_919) % (p // 2)) + 1,
+         (seed * 104_729 + idx * 52_361) % p)
+        for idx in range(n_tables * band_bits)
+    ]
+
+
+def ndp_component(a: int, b: int, i):
+    """Deterministic pseudo-uniform value in [-1, 1) for dim index ``i``
+    (0-based column) from exact integer arithmetic — the shared component
+    formula for hyperplanes and reproducible perturbations. Any engine
+    reproduces it bit-exactly: comp = (((a * (((i+1)*MIX) % P) + b) % P)
+    % 2000001 - 1000000) / 1e6."""
+    x = ((i + 1) * F.lit(_NDP_MIX)) % F.lit(_NDP_PRIME)
+    h = (F.lit(a) * x + F.lit(b)) % F.lit(_NDP_PRIME)
+    return ((h % F.lit(2_000_001)).cast("double") - 1_000_000.0) / 1_000_000.0
+
+
+def _ndp_projection(vec, a: int, b: int):
+    """dot(vec, plane) with plane component i derived by exact integer
+    arithmetic: comp_i = (((a * (((i+1) * MIX) % P) + b) % P) % 2000001
+    - 1000000) / 1e6 in [-1, 1). All int math stays < 2^62 (a < 2^31,
+    premixed x < 2^31)."""
+    def comp(i):
+        return ndp_component(a, b, i)
+
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.transform(F.sequence(F.lit(0).cast("long"), (F.size(vec) - 1).cast("long")), comp),
+            lambda x, c: x.cast("double") * c,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    band_bits: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup pair mining: (id_a, id_b, cos) with
+    id_a < id_b and cos >= threshold.
+
+    Default (the 100 TB path): multi-table sign-bit banding. Each of
+    ``n_tables`` tables buckets vectors by a ``band_bits``-bit hyperplane
+    signature; candidate pairs are bucket collisions in >= 1 table; exact
+    cosine runs once per distinct candidate. Cost is the sum of squared
+    bucket sizes per table — set by bucket granularity, never corpus^2.
+    Per-pair recall at angle theta: 1 - (1 - (1-theta/pi)^band_bits)^n_tables
+    — e.g. ~99% at cos 0.95 with the defaults; raise band_bits for finer
+    buckets at bigger corpora, raise n_tables to buy recall back.
+
+    Signatures use exact integer plane derivation (``ndp_plane_coeffs``),
+    so the candidate set is engine-reproducible — the DuckDB oracle runs
+    the same banding, making even the approximate variant value-checkable.
+    The projection sign is taken after round(., 6) so a borderline-zero
+    projection cannot flip across engines' float summation.
+
+    ``exact=True`` is the brute-force all-pairs baseline (CartesianProduct;
+    small inputs / recall-measurement only).
+    """
+    a_ = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea"))
+    b_ = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb"))
+    if exact:
+        cand = a_.crossJoin(b_).filter(F.col("id_a") < F.col("id_b"))
+        scored = cand.select(
+            "id_a", "id_b", cosine(F.col("__ea"), F.col("__eb")).alias("cos")
+        )
+        return scored.filter(F.round("cos", 6) >= threshold)
+
+    coeffs = ndp_plane_coeffs(n_tables, band_bits, seed)
+    vec = F.col(vec_col)
+    sigs = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for p in range(band_bits):
+            a, b = coeffs[t * band_bits + p]
+            proj = _ndp_projection(vec, a, b)
+            sig = sig + F.when(F.round(proj, 6) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sigs.append(sig)
+    banded = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*sigs)).alias("band", "sig"),
+    )
+    ca = banded.select(F.col("id").alias("id_a"), "band", "sig")
+    cb = banded.select(F.col("id").alias("id_b"), "band", "sig")
+    cand = (
+        ca.join(cb, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = (
+        cand.join(a_, on="id_a")
+        .join(b_, on="id_b")
+        .select("id_a", "id_b", cosine(F.col("__ea"), F.col("__eb")).alias("cos"))
+    )
+    return scored.filter(F.round("cos", 6) >= threshold)
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

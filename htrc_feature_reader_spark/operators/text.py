@@ -89,18 +89,25 @@ def tf_idf(
     document frequencies) and one broadcast join — the doc-frequency table
     is vocabulary-sized. Exact-int aggregates; floats only in the final
     per-row expression.
+
+    Fully lazy: the corpus size N rides along as a broadcast single-row
+    aggregate (cross-joined onto the vocabulary-sized doc-frequency table
+    before the fan-out join), so constructing the plan runs no job and the
+    whole computation is one action at execution time — no driver-side
+    ``.count()`` pre-pass over 100 TB.
     """
     per = token_counts.groupBy(doc_col, token_col).agg(F.sum(count_col).alias("tc"))
     doc_totals = per.groupBy(doc_col).agg(F.sum("tc").alias("doc_total"))
     dfreq = per.groupBy(token_col).agg(F.countDistinct(doc_col).alias("df"))
-    n_docs = per.select(doc_col).distinct().count()
+    n_docs = doc_totals.agg(F.count(F.lit(1)).alias("__n_docs"))
+    dfreq = dfreq.join(F.broadcast(n_docs))  # 1-row cross join: df + N
     out = (
         per.join(doc_totals, on=doc_col)
         .join(F.broadcast(dfreq), on=token_col)
         .withColumn("tf", F.col("tc") / F.col("doc_total"))
         .withColumn(
             "idf",
-            F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0,
+            F.log((F.col("__n_docs").cast("double") + 1.0) / (F.col("df") + 1.0)) + 1.0,
         )
         .withColumn("tf_idf", F.col("tf") * F.col("idf"))
     )

@@ -176,26 +176,41 @@ def distinct_tokens(
     return df.select(*keys).distinct()
 
 
+def _resolve_section(df: DataFrame, section: str) -> str:
+    """Reference default-section semantics: callers that inherit
+    ``default_page_section`` slice to 'body' (feature_reader.py:349) —
+    unless the table has no section column (partial schemas), where the
+    only meaningful choice is folding across what's stored."""
+    if "section" not in df.columns:
+        return "group"
+    return section
+
+
 def term_volume_freqs(
     df: DataFrame,
     page_freq: bool = True,
     pos: bool = True,
     case: bool = True,
     doc_col: str = "htid",
+    section: str = "body",
 ) -> DataFrame:
     """Per-volume term frequencies ranked descending (operator A7;
     reference feature_reader.py:772-779).
 
     page_freq=True (the reference default) makes 'count' the number of
-    pages on which the term occurs.
+    pages on which the term occurs. ``section`` defaults to 'body' like the
+    reference (term_volume_freqs calls tokenlist() which inherits
+    default_page_section='body', feature_reader.py:686); pass 'group'/'all'
+    to fold across sections.
     """
     folded = fold_tokenlist(
         df,
         pages=False,
-        section="group",
+        section=_resolve_section(df, section),
         case=case,
         pos=pos,
         page_freq=page_freq,
+        drop_section=True,  # reference output is token-level (no section col)
         doc_col=doc_col,
     )
     return folded.orderBy(F.desc("count"))
@@ -205,18 +220,28 @@ def tokens_per_page(
     df: DataFrame,
     section_features: DataFrame | None = None,
     doc_col: str = "htid",
+    section: str = "body",
 ) -> DataFrame:
     """Per-page token totals (operator A6; reference feature_reader.py:578-586).
 
     Prefers the stored per-section ``tokenCount`` scalars when available
     (their page-sums are exactly the tokenlist page-sums — FIXTURES.md T3
-    invariant); falls back to folding the fact table.
+    invariant); falls back to folding the fact table. ``section`` defaults
+    to 'body' like the reference (tokens_per_page goes through
+    section_features(), which inherits default_page_section='body');
+    'group'/'all' sums across sections.
     """
     if section_features is not None:
+        sec = _resolve_section(section_features, section)
+        if sec in ("header", "body", "footer"):
+            section_features = section_features.filter(F.col("section") == sec)
         keys = [c for c in (doc_col, "page") if c in section_features.columns]
         return section_features.groupBy(*keys).agg(
             F.sum("tokenCount").alias("count")
         )
+    sec = _resolve_section(df, section)
+    if sec in ("header", "body", "footer"):
+        df = df.filter(F.col("section") == sec)
     pagecol = _page_colname(df)
     keys = [c for c in (doc_col, pagecol) if c and c in df.columns]
     return df.groupBy(*keys).agg(F.sum("count").alias("count"))
@@ -228,6 +253,7 @@ def term_page_freqs(
     case: bool = True,
     doc_col: str = "htid",
     token_values: list[str] | None = None,
+    section: str = "body",
 ) -> DataFrame:
     """Page x token wide matrix (operator R1; reference
     feature_reader.py:723-733): values = count (or presence), missing -> 0.
@@ -237,11 +263,14 @@ def term_page_freqs(
     an unpinned pivot over an open vocabulary is an anti-pattern (the
     reference only ever pivots one volume). For corpus-scale term-document
     matrices keep the long format or build sparse vectors instead.
+
+    ``section`` defaults to 'body' like the reference (term_page_freqs goes
+    through tokenlist(), which inherits default_page_section='body').
     """
     pagecol = _page_colname(df)
     folded = fold_tokenlist(
-        df, pages=True, section="group", case=case, pos=False,
-        page_freq=page_freq, doc_col=doc_col,
+        df, pages=True, section=_resolve_section(df, section), case=case,
+        pos=False, page_freq=page_freq, drop_section=True, doc_col=doc_col,
     )
     token_name = "token" if case else "lowercase"
     keys = [c for c in (doc_col, pagecol) if c and c in folded.columns]

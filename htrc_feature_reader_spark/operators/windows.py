@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import ts_seconds
+from ..functions import ts_micros
 
 
 def _ordered_window(key, ts: str, tiebreak: list[str] | None = None):
@@ -89,11 +89,16 @@ def session_id_col(
 ) -> Column:
     """1-based session id: a new session starts when the gap since the
     previous event exceeds ``gap_s`` seconds. cumsum-of-boundary-flags over
-    the ordered per-entity window."""
+    the ordered per-entity window.
+
+    The gap comparison is exact integer microseconds (a gap of exactly
+    ``gap_s`` stays in-session on any engine; double epoch-seconds could
+    flip it under float rounding)."""
     w = _ordered_window(key, ts, tiebreak)
     prev = F.lag(F.col(ts)).over(w)
-    gap = ts_seconds(ts) - ts_seconds(prev)
-    boundary = F.when(prev.isNull() | (gap > F.lit(float(gap_s))), 1).otherwise(0)
+    gap_us = ts_micros(ts) - ts_micros(prev)
+    threshold_us = int(round(float(gap_s) * 1_000_000))
+    boundary = F.when(prev.isNull() | (gap_us > F.lit(threshold_us)), 1).otherwise(0)
     return F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0))
 
 

@@ -1,0 +1,183 @@
+"""Round-2 operator guards: word-composed shingle hashing (bit-parity with
+the per-shingle character hash), stop-shingle capping, banded embedding
+near-dup mining (recall + no-cartesian plan), exact integer-microsecond
+time arithmetic at threshold boundaries, and tf_idf plan laziness."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from htrc_feature_reader_spark.operators.dedup import (
+    remove_stop_shingles,
+    word_shingle_ids,
+    word_shingles,
+)
+from htrc_feature_reader_spark.operators.similarity import (
+    near_dup_pairs,
+    ndp_component,
+    ndp_plane_coeffs,
+)
+from htrc_feature_reader_spark.operators.text import rolling_hash, tf_idf
+from htrc_feature_reader_spark.operators.windows import sessionize
+from htrc_feature_reader_spark.operators import asof_join
+
+
+def _formatted(df):
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+# ---------------------------------------------------------------- shingles
+
+@pytest.fixture(scope="module")
+def shingle_docs(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "x  y z double  space survives"),
+        ("c", "two words"),          # shorter than n: no shingles
+        ("d", ""),                    # empty doc
+        ("e", "unicode héllo wörld test ok fin"),
+        ("f", "a b c"),               # exactly n words: one shingle
+        ("g", "trailing space here "),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_word_shingle_ids_bit_parity(shingle_docs):
+    """Composed word-level hashing == rolling_hash of the shingle string,
+    including unicode, double spaces, and short docs."""
+    new = set(map(tuple, word_shingle_ids(shingle_docs, "text", "doc_id", n=3).collect()))
+    old = set(map(tuple, (
+        word_shingles(shingle_docs, "text", "doc_id", n=3)
+        .select("id", rolling_hash("shingle").alias("shingle_id"))
+        .collect()
+    )))
+    assert new == old
+    assert len(new) > 0
+
+
+def test_word_shingles_short_docs_empty_not_error(shingle_docs):
+    out = word_shingles(shingle_docs, "text", "doc_id", n=3)
+    ids = {r["id"] for r in out.collect()}
+    assert "c" not in ids and "d" not in ids  # too short: zero rows, no crash
+    one = out.filter(F.col("id") == "f").collect()
+    assert len(one) == 1 and one[0]["shingle"] == "a b c"
+
+
+def test_remove_stop_shingles(spark):
+    # 'viral' appears in 4 of 5 docs (> 50%), 'rare' in 1
+    rows = [(f"d{i}", "viral") for i in range(4)] + [("d4", "rare"), ("d0", "rare2")]
+    sh = spark.createDataFrame(rows, "id string, shingle string")
+    kept = {r["shingle"] for r in remove_stop_shingles(sh, max_df_frac=0.5).collect()}
+    assert kept == {"rare", "rare2"}
+    # absolute cap form
+    kept2 = {r["shingle"] for r in remove_stop_shingles(sh, max_df=3, max_df_frac=None).collect()}
+    assert kept2 == {"rare", "rare2"}
+    # cap off -> passthrough
+    assert remove_stop_shingles(sh, max_df=None, max_df_frac=None) is sh
+
+
+# ---------------------------------------------------------- near-dup pairs
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    """60 unit-ish vectors plus a perturbed near-dup of each (cos ~ 0.95)."""
+    base = spark.range(60).select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: ndp_component(97, 31, i + F.col("id") * 101),
+        ).alias("embedding"),
+    )
+    na, nb = ndp_plane_coeffs(1, 1, seed=5)[0]
+    noise = F.transform(
+        F.sequence(F.lit(0), F.size("embedding") - 1),
+        lambda i: ndp_component(na, nb, i + F.col("vec_id") * 4099),
+    )
+    pert = base.select(
+        "vec_id",
+        F.zip_with("embedding", noise, lambda x, c: x + F.lit(0.12) * c).alias("embedding"),
+    ).select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    return base.unionByName(pert).cache()
+
+
+def test_near_dup_recall_vs_exact(planted_vectors):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(planted_vectors, threshold=0.9, exact=True).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in near_dup_pairs(
+            planted_vectors, threshold=0.9, n_tables=8, band_bits=4
+        ).collect()
+    }
+    assert len(exact) >= 50  # the planted pairs are really there
+    assert approx <= exact   # no false positives (exact cosine re-check)
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f}"
+
+
+def test_near_dup_plan_no_cartesian(planted_vectors):
+    plan = _formatted(near_dup_pairs(planted_vectors, threshold=0.9, n_tables=2, band_bits=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for op in ("BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan
+    # the exact baseline IS the cartesian product (sanity: flag works)
+    plan_exact = _formatted(near_dup_pairs(planted_vectors, threshold=0.9, exact=True))
+    assert "CartesianProduct" in plan_exact or "BroadcastNestedLoopJoin" in plan_exact
+
+
+# ------------------------------------------------------ integer-time edges
+
+def _ts(s_offset_us):
+    base = dt.datetime(2024, 3, 10, 0, 0, 0)
+    return base + dt.timedelta(microseconds=s_offset_us)
+
+
+def test_session_gap_exact_threshold_stays_in_session(spark):
+    gap_s = 1800.0
+    rows = [
+        ("u", _ts(0)),
+        ("u", _ts(1_800_000_000)),      # gap == threshold: same session
+        ("u", _ts(3_600_000_001)),      # gap == threshold + 1us: new session
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = sessionize(df, key="user_id", ts="ts", gap_s=gap_s).orderBy("ts").collect()
+    assert [r["session_id"] for r in out] == [1, 1, 2]
+
+
+def test_asof_tolerance_exact_boundary_in_tolerance(spark):
+    probe = spark.createDataFrame(
+        [("k", _ts(10_000_000))], "key string, ts timestamp"
+    )
+    build = spark.createDataFrame(
+        [("k", _ts(5_000_000), 1.0)], "key string, ts timestamp, v double"
+    )
+    # delta is exactly 5.0s: must match at tolerance 5.0, not at 4.999999
+    hit = asof_join(probe, build, on="key", ts="ts", tolerance_s=5.0).collect()
+    assert hit[0]["v"] == 1.0
+    miss = asof_join(probe, build, on="key", ts="ts", tolerance_s=4.999999).collect()
+    assert miss[0]["v"] is None
+
+
+# ------------------------------------------------------------ tf_idf lazy
+
+def test_tf_idf_construction_runs_no_job(spark, tokenlist_df):
+    sc = spark.sparkContext
+    group = "tfidf-lazy-probe"
+    sc.setJobGroup(group, "tf_idf must not run jobs at plan construction")
+    try:
+        out = tf_idf(
+            tokenlist_df.groupBy("htid", "token").agg(F.count(F.lit(1)).alias("count")),
+            doc_col="htid", token_col="token", count_col="count",
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    assert not sc.statusTracker().getJobIdsForGroup(group), \
+        "tf_idf triggered a Spark job during plan construction"
+    # and the plan still computes correct idf (N rides along as broadcast agg)
+    assert out.first()["idf"] > 0

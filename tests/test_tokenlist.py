@@ -140,12 +140,33 @@ def test_term_volume_freqs(tokenlist_df):
     # page_freq=True: count is #pages containing the term, bounded by page count
     max_pages = tokenlist_df.select("page").distinct().count()
     assert max(counts) <= max_pages
+    # reference default slices to body: equals the explicit body fold and is
+    # strictly narrower than the all-sections fold
+    body = term_volume_freqs(
+        tokenlist_df.filter(F.col("section") == "body"),
+        page_freq=True, pos=False, case=False, section="group",
+    )
+    assert out.exceptAll(body).count() == 0
+    total_all = term_volume_freqs(
+        tokenlist_df, page_freq=True, pos=False, case=False, section="group"
+    ).agg(F.sum("count")).first()[0]
+    assert total_all >= out.agg(F.sum("count")).first()[0]
 
 
 def test_tokens_per_page_matches_fold(tokenlist_df):
-    via_fold = tokens_per_page(tokenlist_df)
+    # section='group' folds every section, matching the direct full sum
+    via_fold = tokens_per_page(tokenlist_df, section="group")
     direct = tokenlist_df.groupBy("htid", "page").agg(F.sum("count").alias("count"))
     assert via_fold.exceptAll(direct).count() == 0
+    # the default slices to 'body' first, like the reference
+    # (section_features inherits default_page_section='body')
+    via_default = tokens_per_page(tokenlist_df)
+    direct_body = (
+        tokenlist_df.filter(F.col("section") == "body")
+        .groupBy("htid", "page").agg(F.sum("count").alias("count"))
+    )
+    assert via_default.exceptAll(direct_body).count() == 0
+    assert direct_body.exceptAll(via_default).count() == 0
 
 
 def test_term_page_freqs_pivot(tokenlist_df):
