@@ -609,6 +609,77 @@ def q_stopword_filter(spark, sf_dir):
     return out.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+# chunked-tokenlist parameters: a finer synthetic page (8 tokens) makes the
+# ~54-word documents span ~7 pages, so target=20 yields 1-6 chunks per doc —
+# the chunking scan (W1), chunk aggregation (A9/A10), and label/bounds joins
+# (J1/J2) all do real work under the driver's value-hash signal
+_CHUNK_PAGE = 8
+_CHUNK_T = 20
+
+
+def _chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, page, token, count) with the finer page size."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"),
+    ).select(
+        "doc_id",
+        (F.floor(F.col("pos") / _CHUNK_PAGE) + 1).alias("page"),
+        "token",
+        F.lit(1).cast("long").alias("count"),
+    )
+
+
+def q_section_group(spark, sf_dir):
+    """S4/A5 under the driver signal: a per-(doc, page, section) scalar
+    feature table (sections derived deterministically from token position:
+    every 7th token is 'header', every 7th+6 'footer', rest 'body'), folded
+    across sections with fold_section_features(section='group')."""
+    from htrc_feature_reader_spark.operators.sections import fold_section_features
+
+    tl = _doc_tokens(spark, sf_dir)
+    sec = (
+        F.when(F.pmod(F.col("tok_idx"), F.lit(7)) == 0, F.lit("header"))
+        .when(F.pmod(F.col("tok_idx"), F.lit(7)) == 6, F.lit("footer"))
+        .otherwise(F.lit("body"))
+    )
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("tok_idx", "token")
+    ).select(
+        "doc_id",
+        (F.floor(F.col("tok_idx") / PAGE_SIZE) + 1).alias("page"),
+        sec.alias("section"),
+        "token",
+    )
+    feats = toks.groupBy("doc_id", "page", "section").agg(
+        F.count(F.lit(1)).alias("tokenCount"),
+        F.countDistinct("token").alias("lineCount"),
+    )
+    out = fold_section_features(feats, section="group", doc_col="doc_id")
+    return out.select("doc_id", "page", "tokenCount", "lineCount")
+
+
+def q_chunked_tokenlist(spark, sf_dir):
+    """Size-targeted chunking end-to-end: per-doc sequential chunk labels
+    (applyInPandas over per-page counts — tiny groups, parallel across
+    docs), broadcast label join back onto the fact table, regroup by chunk,
+    per-chunk page bounds. Strategy 'last' (exact target, final chunk takes
+    the slack) — replayed exactly by the oracle's recursive CTE."""
+    from htrc_feature_reader_spark.operators.chunking import chunked_tokenlist
+
+    tl = _chunk_tokens(spark, sf_dir)
+    out = chunked_tokenlist(
+        tl, chunk_target=_CHUNK_T, overflow_strategy="last", page_ref=True,
+        doc_col="doc_id", case=True, pos=False,
+    )
+    return out.select(
+        "doc_id", "chunk", "token", F.col("count").alias("cnt"),
+        "pstart", "pend",
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """binary payload plumbing: metadata-only plan over an opaque payload."""
     docs = _t(spark, sf_dir, "documents")
@@ -664,6 +735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "stopword_filter": q_stopword_filter,
         "embedding_near_dup": q_embedding_near_dup,
+        "chunked_tokenlist": q_chunked_tokenlist,
+        "section_group": q_section_group,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -747,6 +820,62 @@ def _near_dup_sql() -> str:
         JOIN aug eb ON eb.vec_id = id_b)
       SELECT id_a, id_b, round(cos, 4) AS cos4
       FROM scored WHERE round(cos, 6) >= {_NDP_TAU}
+    """
+
+
+def _chunked_sql() -> str:
+    """DuckDB replay of the 'last' chunking strategy
+    (operators/chunking.py:_label_chunks with balance=False, two_sided=False,
+    defer=True): a recursive CTE carries (doc, running break position); each
+    step picks the page whose cumulative count is nearest the target past
+    the previous break (first index on ties — np.argmin semantics), stopping
+    when the remainder is under 1.5x target (it merges into the open chunk).
+    Verified bit-equal to the Python algorithm on every sf0.01 document."""
+    tok = f"""
+      SELECT doc_id,
+             CAST(((ord - 1) // {_CHUNK_PAGE}) + 1 AS BIGINT) AS page,
+             tok AS token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents)
+    """
+    return f"""
+      WITH RECURSIVE
+      toks AS ({tok}),
+      pages AS (SELECT doc_id, page, count(*) AS c FROM toks GROUP BY 1, 2),
+      cumt AS (SELECT doc_id, page, c,
+                      sum(c) OVER (PARTITION BY doc_id ORDER BY page) AS cs
+               FROM pages),
+      doc AS (SELECT doc_id, list(cs ORDER BY page) AS cums,
+                     CAST(sum(c) AS BIGINT) AS total
+              FROM cumt GROUP BY doc_id),
+      brk AS (
+        SELECT doc_id, cums, total, CAST(0 AS BIGINT) AS base FROM doc
+        UNION ALL
+        SELECT doc_id, cums, total,
+               list_filter(cums, x -> x > base)[
+                 list_position(
+                   list_transform(list_filter(cums, x -> x > base),
+                                  x -> abs(x - base - {_CHUNK_T})),
+                   list_aggregate(list_transform(list_filter(cums, x -> x > base),
+                                                 x -> abs(x - base - {_CHUNK_T})), 'min'))
+               ] AS base
+        FROM brk
+        WHERE total - base >= 1.5 * {_CHUNK_T}
+      ),
+      labels AS (
+        SELECT c.doc_id, c.page,
+               CAST(1 + (SELECT count(*) FROM brk b
+                         WHERE b.doc_id = c.doc_id AND b.base > 0
+                           AND b.base < c.cs) AS BIGINT) AS chunk
+        FROM cumt c),
+      bounds AS (SELECT doc_id, chunk, min(page) AS pstart, max(page) AS pend
+                 FROM labels GROUP BY 1, 2)
+      SELECT t.doc_id, l.chunk, t.token, count(*) AS cnt, bo.pstart, bo.pend
+      FROM toks t
+      JOIN labels l ON t.doc_id = l.doc_id AND t.page = l.page
+      JOIN bounds bo ON bo.doc_id = l.doc_id AND bo.chunk = l.chunk
+      GROUP BY 1, 2, 3, 5, 6
     """
 
 
@@ -1022,4 +1151,26 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1, 2
         """,
         "embedding_near_dup": _near_dup_sql(),
+        "chunked_tokenlist": _chunked_sql(),
+        "section_group": f"""
+          WITH toks AS (
+            SELECT doc_id,
+                   CAST(((ord - 1) // {PAGE_SIZE}) + 1 AS BIGINT) AS page,
+                   CASE WHEN (ord - 1) % 7 = 0 THEN 'header'
+                        WHEN (ord - 1) % 7 = 6 THEN 'footer'
+                        ELSE 'body' END AS section,
+                   tok AS token
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                         generate_subscripts(string_split(text, ' '), 1) AS ord
+                  FROM documents)),
+          feats AS (
+            SELECT doc_id, page, section,
+                   count(*) AS tokenCount,
+                   count(DISTINCT token) AS lineCount
+            FROM toks GROUP BY 1, 2, 3)
+          SELECT doc_id, page,
+                 CAST(sum(tokenCount) AS BIGINT) AS tokenCount,
+                 CAST(sum(lineCount) AS BIGINT) AS lineCount
+          FROM feats GROUP BY 1, 2
+        """,
     }

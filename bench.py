@@ -79,10 +79,14 @@ SCALE_RUNS_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_HIGH", "5"))
 # At least two measured runs always complete so a single interference hit
 # can't define the min.
 SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "260"))
-# if efficiency lands under this after the first pass, top up with extra
-# measured runs (the min estimator needs more samples under interference)
+# if efficiency lands OUTSIDE this band after the first pass, top up with
+# extra measured runs: under ~0.84 the high side may not have converged;
+# over ~1.10 (superlinear) the LOW side almost certainly sampled one of the
+# host's documented 2-3x slow phases — both are min-estimator artifacts,
+# and pooling later samples (phases decay) repairs whichever side inflated
 SCALE_RETRY_EFF = float(os.environ.get("SPARK_GRAFT_SCALE_RETRY_EFF", "0.84"))
-SCALE_TOTAL_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_TOTAL_S", "700"))
+SCALE_RETRY_EFF_HI = float(os.environ.get("SPARK_GRAFT_SCALE_RETRY_EFF_HI", "1.10"))
+SCALE_TOTAL_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_TOTAL_S", "1000"))
 
 
 def _run_to_noop(df) -> None:
@@ -229,14 +233,16 @@ def main() -> None:
             return high["sequences_per_s"] / (ratio * low["sequences_per_s"])
 
         # top-up: under host interference the min estimator may not have
-        # converged; pool more measured runs while budget remains
+        # converged (too low = high side unconverged; superlinear = low side
+        # sampled a slow phase); pool more measured runs while budget remains
         topups = 0
-        while (_eff() < SCALE_RETRY_EFF and topups < 2
+        while (not (SCALE_RETRY_EFF <= _eff() <= SCALE_RETRY_EFF_HI)
+               and topups < 3
                and time.time() - t_scale0 < SCALE_TOTAL_BUDGET_S):
             extra_low = _scaling_run(seq_path, cores=SCALE_LOW,
-                                     n_rows=scale_rows, n_toks=n_toks, n_runs=2)
+                                     n_rows=scale_rows, n_toks=n_toks, n_runs=1)
             extra_high = _scaling_run(seq_path, cores=SCALE_HIGH,
-                                      n_rows=scale_rows, n_toks=n_toks, n_runs=3)
+                                      n_rows=scale_rows, n_toks=n_toks, n_runs=2)
             low = _merge_side(low, extra_low, scale_rows, n_toks)
             high = _merge_side(high, extra_high, scale_rows, n_toks)
             topups += 1

@@ -157,7 +157,9 @@ def chunk_labels(
             }
         )
 
-    out_schema = f"{doc_col} string, {page_col} long, chunk long"
+    doc_type = page_counts.schema[doc_col].dataType.simpleString()
+    page_type = page_counts.schema[page_col].dataType.simpleString()
+    out_schema = f"{doc_col} {doc_type}, {page_col} {page_type}, chunk long"
     return page_counts.groupBy(doc_col).applyInPandas(label_group, schema=out_schema)
 
 

@@ -101,6 +101,13 @@ def resume_write(
 
     A snapshot mismatch means the input changed since the checkpoint —
     refuse rather than silently mix lineages.
+
+    Idempotent under crash-between-write-and-manifest: the todo partitions
+    are written with DYNAMIC partition overwrite, so a partition whose data
+    landed but whose manifest entry never did is REPLACED on the next
+    resume, never appended to (append would silently duplicate its rows).
+    Partitions already in the manifest are filtered out of the write set
+    and therefore untouched by the dynamic overwrite.
     """
     manifest = read_manifest(path)
     if manifest["partitions"] and manifest.get("snapshot_id") != snapshot_id:
@@ -113,7 +120,10 @@ def resume_write(
     new_digests = partition_digests(todo, partition_col).collect()
     if new_digests:
         (
-            todo.write.mode("append").partitionBy(partition_col).parquet(path)
+            todo.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
         )
     for r in new_digests:
         manifest["partitions"][str(r["partition"])] = {

@@ -49,6 +49,25 @@ def test_resume_completes_missing_partitions(spark, df, tmp_path):
     assert spark.read.parquet(path).count() == 1000
 
 
+def test_resume_idempotent_after_crash_window(spark, df, tmp_path):
+    """Crash between data landing and the manifest update must not
+    duplicate rows on the next resume: the partition whose parquet exists
+    but whose manifest entry is missing gets REPLACED (dynamic partition
+    overwrite), not appended to."""
+    path = str(tmp_path / "out")
+    partial = df.filter(F.col("bucket").isin([str(i) for i in range(6)]))
+    write_partitioned(partial, path, "bucket", snapshot_id="snap1")
+    # simulate the crash window: partition 6's data landed, manifest didn't
+    df.filter(F.col("bucket") == "6").write.mode("append").partitionBy(
+        "bucket").parquet(path)
+    assert spark.read.parquet(path).count() == 700
+    assert len(read_manifest(path)["partitions"]) == 6
+
+    resume_write(df, path, "bucket", snapshot_id="snap1")
+    assert spark.read.parquet(path).count() == 1000  # not 1100
+    assert verify_output(spark, path) == []
+
+
 def test_resume_refuses_snapshot_mismatch(spark, df, tmp_path):
     path = str(tmp_path / "out")
     write_partitioned(df.limit(100), path, "bucket", snapshot_id="snap1")
