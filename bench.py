@@ -63,22 +63,27 @@ HEADLINE = [
     "simhash",
     "ann_cosine_topk",
     "quality",
+    "embedding_near_dup",
+    "chunked_tokenlist",
 ]
 
-SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_ROWS", "1600000"))
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_ROWS", "2400000"))
 SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_DOCS", "4000"))
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "1"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
 _default_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 SCALE_TMP = os.environ.get("SPARK_GRAFT_SCALE_TMP", _default_tmp)
 SCALE_RUNS_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_LOW", "3"))
-SCALE_RUNS_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_HIGH", "5"))
+# the high side is ~3.5x cheaper per sample and its min converges slower
+# under interference (shorter runs, proportionally bigger spikes) — buy it
+# more samples
+SCALE_RUNS_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_HIGH", "7"))
 # per-worker measured-runs wall budget, counted AFTER the excluded warmup
 # run: stop re-running once exceeded (the host has minutes-long
 # interference phases; unbounded repeats can blow the bench timeout).
 # At least two measured runs always complete so a single interference hit
 # can't define the min.
-SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "260"))
+SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "320"))
 # if efficiency lands OUTSIDE this band after the first pass, top up with
 # extra measured runs: under ~0.84 the high side may not have converged;
 # over ~1.10 (superlinear) the LOW side almost certainly sampled one of the
@@ -86,7 +91,7 @@ SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "260"))
 # and pooling later samples (phases decay) repairs whichever side inflated
 SCALE_RETRY_EFF = float(os.environ.get("SPARK_GRAFT_SCALE_RETRY_EFF", "0.84"))
 SCALE_RETRY_EFF_HI = float(os.environ.get("SPARK_GRAFT_SCALE_RETRY_EFF_HI", "1.10"))
-SCALE_TOTAL_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_TOTAL_S", "1000"))
+SCALE_TOTAL_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_TOTAL_S", "1100"))
 
 
 def _run_to_noop(df) -> None:
@@ -209,9 +214,13 @@ def main() -> None:
     # ---- two-parallelism scaling evidence (identical input) ----
     # Fixed input size (round-1 lesson: host-speed calibration clamped to a
     # 400k-row floor and produced 11-17 s jobs where per-job fixed cost
-    # dominates and efficiency reads as ~0.37). 1.6M rows ~= 70 s at 1 core
-    # on this host: long enough to amortize the ~4-5 s/run serial component
-    # (planning + broadcast + AQE + commit) to <7% of the low-cores run.
+    # dominates and efficiency reads as ~0.37). 2.4M rows ~= 100 s at 1
+    # core / ~28 s at 4 on a quiet host: the ~3 s/run serial component
+    # (plan construction 0.8 s + ~10 stages of AQE/scheduling coordination,
+    # measured) drops to ~11% of even the 4-core run. Note the host itself
+    # caps the measurable ratio: single-active-core turbo boost plus the
+    # 1->4-worker memory-bandwidth curve (5.2 -> 19.1 GB/s, BASELINE.md)
+    # bound perfectly-parallel work at ~3.6-3.8x.
     tmp = tempfile.mkdtemp(prefix="bench_seqs_", dir=SCALE_TMP)
     seq_path = os.path.join(tmp, "sequences")
     try:
@@ -262,7 +271,7 @@ def main() -> None:
         shutil.rmtree(os.path.join(SCALE_TMP, "spark-scale-local"), ignore_errors=True)
 
     print(json.dumps({
-        "metric": "headline suite wall time (16 queries, noop sink)",
+        "metric": "headline suite wall time (18 queries, noop sink)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,

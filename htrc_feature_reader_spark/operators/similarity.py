@@ -181,17 +181,38 @@ def near_dup_pairs(
         return scored.filter(F.round("cos", 6) >= threshold)
 
     coeffs = ndp_plane_coeffs(n_tables, band_bits, seed)
-    vec = F.col(vec_col)
+    # projections via posexplode + codegen hash-agg, NOT nested higher-order
+    # functions: HOF expressions (transform/zip_with/aggregate) are
+    # interpreted per element, and n_tables*band_bits folds per row cost
+    # ~100ns/op in the expression walker (measured 17 s for 4k x 64-dim
+    # rows). Exploding to (id, i, x) and summing x * comp(i) per plane runs
+    # in whole-stage codegen — and since one row's elements explode inside
+    # one task, the partial-agg order IS the sequential index order, so the
+    # float sums match the fold formulation exactly.
+    ex = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("__i", "__x"),
+    )
+    projs = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.col("__x").cast("double")
+                * ndp_component(a, b, F.col("__i").cast("long"))
+            ).alias(f"__p_{t}_{p}")
+            for t in range(n_tables)
+            for p in range(band_bits)
+            for a, b in [coeffs[t * band_bits + p]]
+        ]
+    )
     sigs = []
     for t in range(n_tables):
         sig = F.lit(0).cast("long")
         for p in range(band_bits):
-            a, b = coeffs[t * band_bits + p]
-            proj = _ndp_projection(vec, a, b)
+            proj = F.col(f"__p_{t}_{p}")
             sig = sig + F.when(F.round(proj, 6) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         sigs.append(sig)
-    banded = emb.select(
-        F.col(id_col).alias("id"),
+    banded = projs.select(
+        "id",
         F.posexplode(F.array(*sigs)).alias("band", "sig"),
     )
     ca = banded.select(F.col("id").alias("id_a"), "band", "sig")
@@ -202,10 +223,23 @@ def near_dup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # norms once per VECTOR (codegen agg over the exploded table), not per
+    # pair — cosine per candidate is then a single interpreted dot fold
+    # instead of three (dot + 2 norms)
+    norms = ex.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("__x").cast("double") * F.col("__x").cast("double"))).alias("__n")
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb"))
     scored = (
         cand.join(a_, on="id_a")
         .join(b_, on="id_b")
-        .select("id_a", "id_b", cosine(F.col("__ea"), F.col("__eb")).alias("cos"))
+        .join(na, on="id_a")
+        .join(nb, on="id_b")
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb"))).alias("cos"),
+        )
     )
     return scored.filter(F.round("cos", 6) >= threshold)
 
