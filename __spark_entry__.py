@@ -527,6 +527,23 @@ def q_lang_distribution(spark, sf_dir):
     return docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_tf_idf(spark, sf_dir):
+    """Source-level tf stats (north-star component): TF-IDF over the
+    whitespace-token counts of the documents table. Fully lazy — the
+    corpus size N rides in as a broadcast 1-row aggregate, never a
+    driver-side count (operators/text.py:tf_idf)."""
+    from htrc_feature_reader_spark.operators.text import tf_idf
+
+    tl = _doc_tokens(spark, sf_dir).groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    out = tf_idf(tl, doc_col="doc_id", token_col="token", count_col="count")
+    return out.select(
+        "doc_id", "token", "tc", "df",
+        F.round("tf", 9).alias("tf9"), F.round("tf_idf", 9).alias("tfidf9"),
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", normalized_fingerprint("text").alias("fp"))
@@ -557,7 +574,10 @@ _NDP_TABLES, _NDP_BITS, _NDP_TAU = 8, 8, 0.9
 _NDP_EPS = 0.07
 _NDP_NOISE_SEED = 777
 _NDP_ID_OFFSET = 1_000_000
-_NDP_ID_MIX = 4_099  # noise index stride per vec_id (keeps a*x < 2^62)
+# noise index stride per vec_id: distinct vectors draw disjoint index
+# streams; ndp_component pre-reduces the index mod P, so arbitrarily large
+# vec_id * stride stays overflow-safe on both engines
+_NDP_ID_MIX = 4_099
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -566,13 +586,13 @@ def q_embedding_near_dup(spark, sf_dir):
     corpus^2). Candidates collide in >= 1 of 8 signature tables; exact
     cosine runs once per distinct candidate pair."""
     from htrc_feature_reader_spark.operators.similarity import (
-        near_dup_pairs, ndp_component, ndp_plane_coeffs,
+        dim_indices, near_dup_pairs, ndp_component, ndp_plane_coeffs,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     na, nb = ndp_plane_coeffs(1, 1, seed=_NDP_NOISE_SEED)[0]
     noise = F.transform(
-        F.sequence(F.lit(0), F.size("embedding") - 1),
+        dim_indices(F.col("embedding")),
         lambda i: ndp_component(na, nb, i + F.col("vec_id") * _NDP_ID_MIX),
     )
     orig = emb.select(
@@ -731,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "quality": q_quality,
         "lang_distribution": q_lang_distribution,
+        "tf_idf": q_tf_idf,
         "fingerprint": q_fingerprint,
         "bpe_token_count": q_bpe_token_count,
         "stopword_filter": q_stopword_filter,
@@ -751,6 +772,13 @@ _SQL_ROLLHASH = (
 
 
 def _minhash_sql() -> str:
+    """Oracle for q_minhash_lsh. Order matters: the engine path hashes
+    shingles to ids map-side FIRST (word_shingle_ids) and applies the
+    stop-shingle cap on the HASHED ids — so under a hash collision the
+    collided id's document frequency is the union of both strings' docs.
+    The oracle replays that order (hash, distinct, then cap on sid);
+    capping on strings first would diverge exactly when collisions
+    straddle the df threshold."""
     hash_exprs = ", ".join(
         f"min(({a} * (((sid + 1) * 2654435761) % {_MH_P}) + {b}) % {_MH_P}) AS h{i}"
         for i, (a, b) in enumerate(_MH_COEF)
@@ -760,8 +788,14 @@ def _minhash_sql() -> str:
     )
     sid = _SQL_ROLLHASH.format(col="shingle")
     return f"""
-      WITH sh AS ({_SQL_SHINGLES_CAPPED}),
-      ds AS (SELECT doc_id, {sid} AS sid FROM sh),
+      WITH sh AS ({_SQL_SHINGLES}),
+      ds0 AS (SELECT DISTINCT doc_id, {sid} AS sid FROM sh),
+      ds AS (
+        SELECT ds0.doc_id, ds0.sid FROM ds0
+        ANTI JOIN (
+          SELECT sid FROM ds0 GROUP BY sid
+          HAVING count(*) > 0.5 * (SELECT count(DISTINCT doc_id) FROM ds0)
+        ) stop USING (sid)),
       mh AS (SELECT doc_id, {hash_exprs} FROM ds GROUP BY doc_id)
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_conds})
@@ -777,8 +811,12 @@ def _near_dup_sql() -> str:
         _NDP_MIX, _NDP_PRIME, ndp_plane_coeffs,
     )
 
-    def comp_sql(a: int, b: int) -> str:
-        return (f"((({a} * (((i+1) * {_NDP_MIX}) % {_NDP_PRIME}) + {b})"
+    def comp_sql(a: int, b: int, idx: str = "i") -> str:
+        # the index pre-reduces mod P before (idx+1)*MIX, mirroring
+        # ndp_component: exact (same value mod P) and overflow-safe for
+        # large derived indices (dim + vec_id * stride noise streams)
+        return (f"((({a} * (((({idx}) % {_NDP_PRIME} + 1) * {_NDP_MIX})"
+                f" % {_NDP_PRIME}) + {b})"
                 f" % {_NDP_PRIME}) % 2000001 - 1000000) / 1000000.0")
 
     na, nb = ndp_plane_coeffs(1, 1, seed=_NDP_NOISE_SEED)[0]
@@ -800,7 +838,7 @@ def _near_dup_sql() -> str:
         SELECT vec_id + {_NDP_ID_OFFSET},
                list_transform(range(0, len(embedding)),
                  i -> CAST(embedding[i+1] AS DOUBLE) +
-                      {_NDP_EPS} * ({comp_sql(na, nb).replace("(i+1)", f"(i + vec_id * {_NDP_ID_MIX} + 1)")}))
+                      {_NDP_EPS} * ({comp_sql(na, nb, idx=f"i + vec_id * {_NDP_ID_MIX}")}))
         FROM embeddings),
       sigs AS (SELECT vec_id, {", ".join(sig_exprs)} FROM aug),
       banded AS (
@@ -1131,6 +1169,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_distribution": """
           SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2
+        """,
+        "tf_idf": f"""
+          WITH per AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tc
+            FROM ({_SQL_TOKENS}) GROUP BY 1, 2),
+          totals AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS doc_total
+                     FROM per GROUP BY 1),
+          dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM per GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM totals)
+          SELECT per.doc_id, per.token, per.tc, dfreq.df,
+                 round(per.tc / totals.doc_total, 9) AS tf9,
+                 round((per.tc / totals.doc_total) *
+                       (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 9) AS tfidf9
+          FROM per
+          JOIN totals USING (doc_id)
+          JOIN dfreq USING (token), n
         """,
         "fingerprint": r"""
           SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp

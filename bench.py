@@ -65,6 +65,7 @@ HEADLINE = [
     "quality",
     "embedding_near_dup",
     "chunked_tokenlist",
+    "tf_idf",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_ROWS", "2400000"))
@@ -73,7 +74,7 @@ SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "1"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
 _default_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 SCALE_TMP = os.environ.get("SPARK_GRAFT_SCALE_TMP", _default_tmp)
-SCALE_RUNS_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_LOW", "3"))
+SCALE_RUNS_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_LOW", "2"))
 # the high side is ~3.5x cheaper per sample and its min converges slower
 # under interference (shorter runs, proportionally bigger spikes) — buy it
 # more samples
@@ -91,7 +92,7 @@ SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "320"))
 # and pooling later samples (phases decay) repairs whichever side inflated
 SCALE_RETRY_EFF = float(os.environ.get("SPARK_GRAFT_SCALE_RETRY_EFF", "0.84"))
 SCALE_RETRY_EFF_HI = float(os.environ.get("SPARK_GRAFT_SCALE_RETRY_EFF_HI", "1.10"))
-SCALE_TOTAL_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_TOTAL_S", "1100"))
+SCALE_TOTAL_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_TOTAL_S", "900"))
 
 
 def _run_to_noop(df) -> None:
@@ -221,6 +222,17 @@ def main() -> None:
     # caps the measurable ratio: single-active-core turbo boost plus the
     # 1->4-worker memory-bandwidth curve (5.2 -> 19.1 GB/s, BASELINE.md)
     # bound perfectly-parallel work at ~3.6-3.8x.
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        # smoke mode (verify skill / quick iteration): headline only
+        print(json.dumps({
+            "metric": f"headline suite wall time ({len(HEADLINE)} queries, noop sink)",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }))
+        return
+
     tmp = tempfile.mkdtemp(prefix="bench_seqs_", dir=SCALE_TMP)
     seq_path = os.path.join(tmp, "sequences")
     try:
@@ -243,11 +255,19 @@ def main() -> None:
 
         # top-up: under host interference the min estimator may not have
         # converged (too low = high side unconverged; superlinear = low side
-        # sampled a slow phase); pool more measured runs while budget remains
+        # sampled a slow phase); pool more measured runs while budget remains.
+        # A top-up only STARTS if its estimated cost (warmup + 1 low run +
+        # warmup + 2 high runs, from measured walls) fits the budget — an
+        # in-flight top-up can't be cancelled, so starting one at the budget
+        # edge could blow the driver's patience.
+        def _topup_est() -> float:
+            return (low["warmup_s"] + min(low["runs"])
+                    + high["warmup_s"] + 2 * min(high["runs"]) + 30)
+
         topups = 0
         while (not (SCALE_RETRY_EFF <= _eff() <= SCALE_RETRY_EFF_HI)
                and topups < 3
-               and time.time() - t_scale0 < SCALE_TOTAL_BUDGET_S):
+               and time.time() - t_scale0 + _topup_est() < SCALE_TOTAL_BUDGET_S):
             extra_low = _scaling_run(seq_path, cores=SCALE_LOW,
                                      n_rows=scale_rows, n_toks=n_toks, n_runs=1)
             extra_high = _scaling_run(seq_path, cores=SCALE_HIGH,
@@ -271,7 +291,7 @@ def main() -> None:
         shutil.rmtree(os.path.join(SCALE_TMP, "spark-scale-local"), ignore_errors=True)
 
     print(json.dumps({
-        "metric": "headline suite wall time (18 queries, noop sink)",
+        "metric": f"headline suite wall time ({len(HEADLINE)} queries, noop sink)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,

@@ -117,8 +117,7 @@ class Corpus:
         page_ref: bool = False,
     ) -> DataFrame:
         tl = self._need(self._tokens, "tokenlist")
-        if section == "default":
-            section = self.default_section if "section" in tl.columns else "group"
+        section = self._section(section, tl)
         if chunk:
             return chunked_tokenlist(
                 tl, chunk_target=chunk_target, overflow_strategy=overflow_strategy,
@@ -138,48 +137,56 @@ class Corpus:
             min_count=min_count, doc_col=self.doc_col,
         )
 
-    def _section(self, section: str) -> str:
+    def _section(self, section: str, df: DataFrame | None = None) -> str:
         """'default' inherits default_page_section ('body'), exactly like
-        the reference (feature_reader.py:349,491,686,814)."""
-        return self.default_section if section == "default" else section
+        the reference (feature_reader.py:349,491,686,814) — unless the
+        backing table has no section column (partial schemas), where the
+        inherited default degrades to a cross-section fold. Explicit slice
+        requests are passed through untouched (the operators raise loudly
+        if the level is missing)."""
+        if section != "default":
+            return section
+        if df is not None and "section" not in df.columns:
+            return "group"
+        return self.default_section
 
     def tokens_per_page(self, section: str = "default") -> DataFrame:
+        tl = self._need(self._tokens, "tokenlist")
         return tokens_per_page(
-            self._need(self._tokens, "tokenlist"),
-            section_features=self._sections, doc_col=self.doc_col,
-            section=self._section(section),
+            tl, section_features=self._sections, doc_col=self.doc_col,
+            section=self._section(section, self._sections if self._sections is not None else tl),
         )
 
     def term_volume_freqs(self, page_freq: bool = True, pos: bool = True,
                           case: bool = True,
                           section: str = "default") -> DataFrame:
+        tl = self._need(self._tokens, "tokenlist")
         return term_volume_freqs(
-            self._need(self._tokens, "tokenlist"), page_freq=page_freq,
-            pos=pos, case=case, doc_col=self.doc_col,
-            section=self._section(section),
+            tl, page_freq=page_freq, pos=pos, case=case, doc_col=self.doc_col,
+            section=self._section(section, tl),
         )
 
     def term_page_freqs(self, page_freq: bool = True, case: bool = True,
                         token_values: list[str] | None = None,
                         section: str = "default") -> DataFrame:
+        tl = self._need(self._tokens, "tokenlist")
         return term_page_freqs(
-            self._need(self._tokens, "tokenlist"), page_freq=page_freq,
-            case=case, doc_col=self.doc_col, token_values=token_values,
-            section=self._section(section),
+            tl, page_freq=page_freq, case=case, doc_col=self.doc_col,
+            token_values=token_values, section=self._section(section, tl),
         )
 
     def section_features(self, section: str = "default", feature: str | None = None,
                          page_select: int | None = None) -> DataFrame:
         return fold_section_features(
             self._need(self._sections, "section features"),
-            section=self._section(section),
+            section=self._section(section, self._need(self._sections, "section features")),
             feature=feature, page_select=page_select, doc_col=self.doc_col,
         )
 
     def line_chars(self, section: str = "default", place: str = "all") -> DataFrame:
         return fold_linechars(
             self._need(self._chars, "line chars"),
-            section=self._section(section),
+            section=self._section(section, self._need(self._chars, "line chars")),
             place=place, doc_col=self.doc_col,
         )
 

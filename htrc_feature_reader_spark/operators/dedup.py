@@ -193,7 +193,13 @@ def remove_stop_shingles(
     """
     if max_df is None and max_df_frac is None:
         return doc_shingles
-    counts = doc_shingles.groupBy(shingle_col).agg(F.count(F.lit(1)).alias("__df"))
+    # document frequency = DISTINCT docs per shingle: inputs with repeated
+    # (doc, shingle) rows (non-deduped shingle streams) must not inflate df.
+    # Two-level distinct-then-count keeps the agg map-side combinable.
+    counts = (
+        doc_shingles.select(id_col, shingle_col).distinct()
+        .groupBy(shingle_col).agg(F.count(F.lit(1)).alias("__df"))
+    )
     if max_df is not None:
         stop = counts.filter(F.col("__df") > max_df)
     else:

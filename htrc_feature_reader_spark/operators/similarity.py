@@ -73,6 +73,15 @@ def _plane_component(seed: int, plane: int, dim_idx):
     return (F.pmod(h, F.lit(2_000_001)).cast("double") - 1_000_000.0) / 1_000_000.0
 
 
+def dim_indices(vec):
+    """0-based dim-index array of ``vec`` — empty-safe: sequence(0, -1) is
+    DESCENDING ([0, -1]), not empty, so a bare sequence over an empty
+    embedding would zip null pads into the arithmetic."""
+    return F.when(
+        F.size(vec) > 0, F.sequence(F.lit(0), F.size(vec) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def hyperplane_signature(
     vec, n_planes: int = 16, seed: int = 42
 ):
@@ -82,7 +91,7 @@ def hyperplane_signature(
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1),
+                F.transform(dim_indices(vec),
                             lambda i: _plane_component(seed, p, i)),
                 lambda x, c: x.cast("double") * c,
             ),
@@ -114,30 +123,18 @@ def ndp_component(a: int, b: int, i):
     """Deterministic pseudo-uniform value in [-1, 1) for dim index ``i``
     (0-based column) from exact integer arithmetic — the shared component
     formula for hyperplanes and reproducible perturbations. Any engine
-    reproduces it bit-exactly: comp = (((a * (((i+1)*MIX) % P) + b) % P)
-    % 2000001 - 1000000) / 1e6."""
-    x = ((i + 1) * F.lit(_NDP_MIX)) % F.lit(_NDP_PRIME)
+    reproduces it bit-exactly: comp = (((a * (((i%P+1)*MIX) % P) + b) % P)
+    % 2000001 - 1000000) / 1e6.
+
+    The index is pre-reduced mod P so callers may pass LARGE derived
+    indices (e.g. dim + vec_id * stride for per-vector noise streams)
+    without (i+1)*MIX overflowing int64: (i%P+1) < 2^31 keeps the product
+    < 2^62, and the reduction is exact ((i%P+1)*MIX == (i+1)*MIX mod P) —
+    values are unchanged for i < P, i.e. everything computed before the
+    guard existed."""
+    x = ((F.pmod(i, F.lit(_NDP_PRIME)) + 1) * F.lit(_NDP_MIX)) % F.lit(_NDP_PRIME)
     h = (F.lit(a) * x + F.lit(b)) % F.lit(_NDP_PRIME)
     return ((h % F.lit(2_000_001)).cast("double") - 1_000_000.0) / 1_000_000.0
-
-
-def _ndp_projection(vec, a: int, b: int):
-    """dot(vec, plane) with plane component i derived by exact integer
-    arithmetic: comp_i = (((a * (((i+1) * MIX) % P) + b) % P) % 2000001
-    - 1000000) / 1e6 in [-1, 1). All int math stays < 2^62 (a < 2^31,
-    premixed x < 2^31)."""
-    def comp(i):
-        return ndp_component(a, b, i)
-
-    return F.aggregate(
-        F.zip_with(
-            vec,
-            F.transform(F.sequence(F.lit(0).cast("long"), (F.size(vec) - 1).cast("long")), comp),
-            lambda x, c: x.cast("double") * c,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
 
 
 def near_dup_pairs(

@@ -65,7 +65,7 @@ def _token_col(df: DataFrame, case: bool):
 def fold_tokenlist(
     df: DataFrame,
     pages: bool = True,
-    section: str = "body",
+    section: str = "default",
     case: bool = True,
     pos: bool = True,
     page_freq: bool = False,
@@ -97,6 +97,11 @@ def fold_tokenlist(
     cols = set(df.columns)
     pagecol = _page_colname(df)
 
+    if section == "default":
+        # inherit default_page_section='body' (feature_reader.py:349) when
+        # the level exists; on partial schemas fold across what's stored —
+        # only EXPLICIT slice requests raise on sectionless tables
+        section = "body" if "section" in cols else "group"
     if (pages or page_select is not None) and pagecol is None:
         raise MissingFieldError("table has neither 'page' nor 'chunk' column")
     if page_select is not None and not pages:
@@ -177,12 +182,19 @@ def distinct_tokens(
 
 
 def _resolve_section(df: DataFrame, section: str) -> str:
-    """Reference default-section semantics: callers that inherit
-    ``default_page_section`` slice to 'body' (feature_reader.py:349) —
+    """Reference default-section semantics: section='default' inherits
+    ``default_page_section`` and slices to 'body' (feature_reader.py:349) —
     unless the table has no section column (partial schemas), where the
-    only meaningful choice is folding across what's stored."""
-    if "section" not in df.columns:
-        return "group"
+    only meaningful default is folding across what's stored. An EXPLICIT
+    slice request on a sectionless table raises instead of being silently
+    rewritten to a cross-section fold."""
+    has_section = "section" in df.columns
+    if section == "default":
+        return "body" if has_section else "group"
+    if not has_section and section in SECREF:
+        raise MissingFieldError(
+            f"section={section!r} requested but this table has no section column"
+        )
     return section
 
 
@@ -192,7 +204,7 @@ def term_volume_freqs(
     pos: bool = True,
     case: bool = True,
     doc_col: str = "htid",
-    section: str = "body",
+    section: str = "default",
 ) -> DataFrame:
     """Per-volume term frequencies ranked descending (operator A7;
     reference feature_reader.py:772-779).
@@ -220,7 +232,7 @@ def tokens_per_page(
     df: DataFrame,
     section_features: DataFrame | None = None,
     doc_col: str = "htid",
-    section: str = "body",
+    section: str = "default",
 ) -> DataFrame:
     """Per-page token totals (operator A6; reference feature_reader.py:578-586).
 
@@ -253,7 +265,7 @@ def term_page_freqs(
     case: bool = True,
     doc_col: str = "htid",
     token_values: list[str] | None = None,
-    section: str = "body",
+    section: str = "default",
 ) -> DataFrame:
     """Page x token wide matrix (operator R1; reference
     feature_reader.py:723-733): values = count (or presence), missing -> 0.

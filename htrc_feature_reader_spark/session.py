@@ -11,8 +11,36 @@ DuckDB oracle.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _ship_package(sc) -> None:
+    """Ship this package to executor Python workers — the in-process
+    equivalent of ``spark-submit --py-files`` (scripts/submit.sh does the
+    same for cluster runs). UDF closures reference package functions, which
+    cloudpickle serializes BY MODULE REFERENCE, so the worker must be able
+    to ``import htrc_feature_reader_spark`` no matter what directory the
+    driver ran from (a driver that did ``sys.path.insert`` does not
+    propagate that path to workers)."""
+    if getattr(sc, "_htrc_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"htrc_feature_reader_spark_pyfiles_{os.getuid()}.zip"
+    )
+    tmp = zpath + f".{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, os.path.dirname(pkg_dir)))
+    os.replace(tmp, zpath)  # atomic: concurrent sessions never see a partial zip
+    sc.addPyFile(zpath)
+    sc._htrc_pkg_shipped = True
 
 
 def get_spark(
@@ -54,4 +82,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark.sparkContext)
     return spark

@@ -64,8 +64,12 @@ def test_chunk_labels_broadcast_not_shuffled(tl_parquet):
     plan = _formatted(chunked_tokenlist(tl_parquet, chunk_target=300, section="all"))
     # both the label map and (with page_ref) bounds come back broadcast
     assert "BroadcastHashJoin" in plan
-    # the only Python is the per-doc chunk labeler
-    assert plan.count(") FlatMapGroupsInPandas") == 1
+    # the only Python is the batched Arrow chunk labeler (scalar pandas
+    # UDF over per-doc count arrays — one invocation per Arrow batch, not
+    # one per document like FlatMapGroupsInPandas)
+    assert plan.count(") ArrowEvalPython") == 1
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan  # never row-at-a-time Python
 
 
 def test_salted_asof_replicates_build_not_probe(spark):
