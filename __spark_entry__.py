@@ -711,6 +711,73 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def _rt_path(sf_dir: str, kind: str) -> str:
+    """Deterministic scratch dir for a round-trip query (overwrite mode
+    makes re-runs idempotent; one dir per (kind, sf) so queries never
+    collide)."""
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_rt_{os.getuid()}_{kind}_{tag}"
+    )
+
+
+def q_quad_roundtrip(spark, sf_dir):
+    """S7/S8 under the driver's hard signal: write the documents-derived
+    tokenlist to the parquet quad layout (sort-for-compression on), read
+    it back, return the full long table — hash equality against the
+    oracle computed directly on `documents` proves sink -> scan lossless
+    (sources/parquet_quad.py; reference parsers.py:476-586)."""
+    from htrc_feature_reader_spark.sources.parquet_quad import read_quad, write_quad
+
+    tl = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "page", "token")
+        .agg(F.sum("count").alias("count"))
+        .withColumnRenamed("doc_id", "htid")
+    )
+    path = _rt_path(sf_dir, "quad")
+    write_quad(path, tokenlist=tl)
+    back = read_quad(spark, path)
+    return back.select(
+        F.col("htid").alias("doc_id"), "page", "token", "count"
+    )
+
+
+def q_ef_json_roundtrip(spark, sf_dir):
+    """S1/S2/S9 composed: documents-derived tokenlist -> nested EF v3.0
+    NDJSON (sources/ef_json_sink.py) -> re-ingest with the explicit schema
+    (sources/ef_json.py) -> long table. ingest∘sink == identity, checked
+    cell-exact by the driver hash (the reference's write() is a byte copy,
+    parsers.py:252-272; this is the engine's semantic equivalent)."""
+    from htrc_feature_reader_spark.sources.ef_json import (
+        read_ef_json,
+        tokenlist_from_ef,
+    )
+    from htrc_feature_reader_spark.sources.ef_json_sink import write_ef_json
+
+    tl = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "page", "token")
+        .agg(F.sum("count").alias("count"))
+        .select(
+            F.col("doc_id").cast("string").alias("htid"),
+            "page",
+            F.lit("body").alias("section"),
+            "token",
+            F.lit("UNK").alias("pos"),
+            "count",
+        )
+    )
+    path = _rt_path(sf_dir, "efjson")
+    write_ef_json(path, tokenlist=tl)
+    back = tokenlist_from_ef(read_ef_json(spark, path))
+    return back.select(
+        F.col("htid").cast("bigint").alias("doc_id"), "page", "token", "count"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -759,6 +826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunked_tokenlist": q_chunked_tokenlist,
         "section_group": q_section_group,
         "multimodal_meta": q_multimodal_meta,
+        "quad_roundtrip": q_quad_roundtrip,
+        "ef_json_roundtrip": q_ef_json_roundtrip,
     }
 
 
@@ -1198,6 +1267,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": """
           SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
+        """,
+        # both round-trips must return exactly the grouped token table the
+        # sink consumed — the oracle recomputes it straight from documents
+        "quad_roundtrip": f"""
+          SELECT doc_id, page, token, CAST(count(*) AS BIGINT) AS count
+          FROM ({_SQL_TOKENS}) GROUP BY 1, 2, 3
+        """,
+        "ef_json_roundtrip": f"""
+          SELECT doc_id, page, token, CAST(count(*) AS BIGINT) AS count
+          FROM ({_SQL_TOKENS}) GROUP BY 1, 2, 3
         """,
         "stopword_filter": f"""
           SELECT doc_id, token, count(*) AS cnt
