@@ -181,3 +181,10 @@ def test_tf_idf_construction_runs_no_job(spark, tokenlist_df):
         "tf_idf triggered a Spark job during plan construction"
     # and the plan still computes correct idf (N rides along as broadcast agg)
     assert out.first()["idf"] > 0
+
+
+def test_session_timezone_pinned_utc(spark):
+    """ts_micros reinterprets TIMESTAMP_NTZ (pandas-written parquet) in the
+    session timezone; the integer-microsecond arithmetic is only DST-safe
+    because get_spark pins UTC — guard the pin."""
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
