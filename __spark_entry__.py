@@ -778,6 +778,54 @@ def q_ef_json_roundtrip(spark, sf_dir):
     )
 
 
+def q_metadata_roundtrip(spark, sf_dir):
+    """S6 under the driver's hard signal: synthesize per-volume metadata
+    from `documents`, sink it inside nested EF JSON (ef_json_sink), then
+    re-extract with the full variant-based field walk (volumes_from_ef,
+    reference parsers.py:145-174). Hash equality vs the oracle recomputing
+    the same fields straight from documents proves sink -> metadata
+    extraction faithful for every field the sink carries."""
+    from htrc_feature_reader_spark.sources.ef_json import (
+        read_ef_json,
+        volumes_from_ef,
+    )
+    from htrc_feature_reader_spark.sources.ef_json_sink import write_ef_json
+
+    docs = _t(spark, sf_dir, "documents")
+    vols = docs.select(
+        F.col("doc_id").cast("string").alias("htid"),
+        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        (F.pmod(F.col("doc_id"), F.lit(100)) + 1900).cast("string").alias("pub_date"),
+        F.col("lang").alias("language"),
+        F.array(F.col("source")).alias("names"),
+        F.array(F.lit("fiction"), F.lit("not fiction")).alias("genre"),
+        F.col("source").alias("source_institution"),
+        F.lit("open").alias("access_profile"),
+    )
+    tiny_tl = docs.select(
+        F.col("doc_id").cast("string").alias("htid"),
+        F.lit(1).cast("long").alias("page"),
+        F.lit("body").alias("section"),
+        F.lit("tok").alias("token"),
+        F.lit("UNK").alias("pos"),
+        F.lit(1).cast("long").alias("count"),
+    )
+    path = _rt_path(sf_dir, "meta")
+    write_ef_json(path, tokenlist=tiny_tl, volumes=vols)
+    back = volumes_from_ef(read_ef_json(spark, path))
+    return back.select(
+        F.col("htid").cast("bigint").alias("doc_id"),
+        "title",
+        "pub_date",
+        "language",
+        F.array_join("names", ",").alias("names_csv"),
+        F.array_join("genre", ",").alias("genre_csv"),
+        "source_institution",
+        "access_profile",
+        F.col("page_count").cast("bigint").alias("page_count"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -828,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "quad_roundtrip": q_quad_roundtrip,
         "ef_json_roundtrip": q_ef_json_roundtrip,
+        "metadata_roundtrip": q_metadata_roundtrip,
     }
 
 
@@ -1277,6 +1326,18 @@ def oracle_sql() -> dict[str, str]:
         "ef_json_roundtrip": f"""
           SELECT doc_id, page, token, CAST(count(*) AS BIGINT) AS count
           FROM ({_SQL_TOKENS}) GROUP BY 1, 2, 3
+        """,
+        "metadata_roundtrip": """
+          SELECT doc_id,
+                 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                 CAST(1900 + doc_id % 100 AS VARCHAR) AS pub_date,
+                 lang AS language,
+                 source AS names_csv,
+                 'fiction,not fiction' AS genre_csv,
+                 source AS source_institution,
+                 'open' AS access_profile,
+                 CAST(1 AS BIGINT) AS page_count
+          FROM documents
         """,
         "stopword_filter": f"""
           SELECT doc_id, token, count(*) AS cnt
