@@ -1,0 +1,126 @@
+"""Byte-faithful EF volume copy (operator S9, the reference's copy path).
+
+The reference's JSON ``write`` is a file copy: when source and target
+compression match it moves the raw bytes untouched (``skip_compression``,
+parsers.py:252-272), re/de-compressing only on a codec change. The
+distributed analog: ``spark.read.format("binaryFile")`` fans the source
+files across executors, a ``mapInPandas`` stage transcodes (or passes
+through) each payload, and every task writes its own destination files —
+no driver-side loop, no shuffle, linear scale-out in #files.
+
+Returns a lineage/metrics DataFrame (src, dest, n_bytes_in, n_bytes_out,
+skipped_recompression) rather than nothing — the same
+observability-by-default contract as ``plans/manifest.py``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+_CODEC_EXT = {"bz2": ".bz2", "gz": ".gz", None: ""}
+
+
+def _codec_of(path: str) -> str | None:
+    if path.endswith(".bz2"):
+        return "bz2"
+    if path.endswith(".gz"):
+        return "gz"
+    return None
+
+
+def _decode(payload: bytes, codec: str | None) -> bytes:
+    if codec == "bz2":
+        import bz2
+
+        return bz2.decompress(payload)
+    if codec == "gz":
+        import gzip
+
+        return gzip.decompress(payload)
+    return payload
+
+
+def _encode(payload: bytes, codec: str | None) -> bytes:
+    if codec == "bz2":
+        import bz2
+
+        return bz2.compress(payload)
+    if codec == "gz":
+        import gzip
+
+        # mtime=0: deterministic output (gzip headers embed a timestamp)
+        import io
+
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+            f.write(payload)
+        return buf.getvalue()
+    return payload
+
+
+def copy_volumes(
+    spark: SparkSession,
+    src_glob: str,
+    dest_dir: str,
+    compression: str | None = "same",
+) -> DataFrame:
+    """Copy EF volume files byte-faithfully, distributed.
+
+    ``compression='same'`` (the reference's ``skip_compression`` fast
+    path) never decodes the payload — source bytes land verbatim.
+    ``compression in {'bz2', 'gz', None}`` transcodes file-by-file.
+    The returned DataFrame is the copy's lineage record; the copy runs
+    when it is materialized (lazy like every other plan — ``.collect()``
+    or write it somewhere to execute).
+
+    Destination files keep the source basename (with the codec extension
+    swapped on transcode), mirroring the reference's resolver naming.
+    Requires ``dest_dir`` to be a task-writable shared filesystem — true
+    for local mode and for clusters mounting a shared store.
+    """
+    if compression not in ("same", "bz2", "gz", None):
+        raise ValueError(f"unknown compression {compression!r}")
+    os.makedirs(dest_dir, exist_ok=True)
+    files = spark.read.format("binaryFile").load(src_glob)
+
+    def copy_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "src": [], "dest": [], "n_bytes_in": [], "n_bytes_out": [],
+                "skipped_recompression": [],
+            }
+            for path, content in zip(pdf["path"], pdf["content"]):
+                local = path[len("file:"):] if path.startswith("file:") else path
+                src_codec = _codec_of(local)
+                dst_codec = src_codec if compression == "same" else compression
+                base = os.path.basename(local)
+                skip = dst_codec == src_codec
+                if skip:
+                    payload = bytes(content)
+                else:
+                    payload = _encode(_decode(bytes(content), src_codec), dst_codec)
+                    root = base[: -len(_CODEC_EXT[src_codec])] if src_codec else base
+                    base = root + _CODEC_EXT[dst_codec]
+                dest = os.path.join(dest_dir, base)
+                tmp = dest + f".__tmp_{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, dest)  # atomic publish, re-run idempotent
+                out["src"].append(local)
+                out["dest"].append(dest)
+                out["n_bytes_in"].append(len(content))
+                out["n_bytes_out"].append(len(payload))
+                out["skipped_recompression"].append(skip)
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(
+        copy_fn,
+        schema=(
+            "src string, dest string, n_bytes_in long, n_bytes_out long, "
+            "skipped_recompression boolean"
+        ),
+    )
