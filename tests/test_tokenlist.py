@@ -183,3 +183,18 @@ def test_term_page_freqs_pivot(tokenlist_df):
         ).agg(F.coalesce(F.sum("count"), F.lit(0))).first()[0]
     )
     assert row["the"] == direct
+
+
+def test_case_fold_unicode_parity_with_reference(spark):
+    """C1: the reference folds case with pandas ``Series.str.lower()``
+    (feature_reader.py:85-86); the engine uses JVM ``F.lower``. Verified
+    exhaustively over U+0020..U+2FFFF (zero divergent codepoints) — this
+    test pins the cased subset so a Spark/ICU upgrade that changes the
+    mapping fails loudly."""
+    import pyspark.sql.functions as F
+
+    cased = [chr(cp) for cp in range(0x20, 0x30000) if chr(cp).lower() != chr(cp)]
+    df = spark.createDataFrame([(c,) for c in cased], "token string")
+    rows = df.select("token", F.lower("token").alias("jvm")).collect()
+    diff = [r for r in rows if r["jvm"] != r["token"].lower()]
+    assert diff == []
