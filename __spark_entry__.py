@@ -379,6 +379,45 @@ def q_ffill_views(spark, sf_dir):
     )
 
 
+def q_bfill_views(spark, sf_dir):
+    """backward fill: first view value at or after each event, per user
+    (label-side fill; operators/windows.py:backward_fill)."""
+    from htrc_feature_reader_spark.operators.windows import backward_fill
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "view_value", F.when(F.col("event_type") == "view", F.col("value"))
+    )
+    return backward_fill(ev, ["view_value"], key="user_id", ts="ts").select(
+        "event_id", "view_value"
+    )
+
+
+def q_term_volume_freqs(spark, sf_dir):
+    """A7 + O2 ranked output: per-volume page frequencies of terms, ranked
+    by a fully deterministic (count desc, token asc) row_number so the
+    rank column itself is hash-checkable."""
+    from htrc_feature_reader_spark.operators.tokenlist import term_volume_freqs
+
+    tl = _doc_tokens(spark, sf_dir).withColumnRenamed("doc_id", "htid")
+    tvf = term_volume_freqs(tl, page_freq=True, pos=False, section="group")
+    w = Window.partitionBy("htid").orderBy(F.desc("count"), F.asc("token"))
+    return tvf.select(
+        F.col("htid").alias("doc_id"), "token",
+        F.col("count").alias("n_pages"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    ).filter(F.col("rnk") <= 25)
+
+
+def q_page_select(spark, sf_dir):
+    """F2 page_select: restrict the fold to one page (empty, not error,
+    when the page is absent)."""
+    tl = _doc_tokens(spark, sf_dir).withColumnRenamed("doc_id", "htid")
+    out = fold_tokenlist(
+        tl, pages=True, case=True, pos=False, page_select=2, doc_col="htid"
+    )
+    return out.select(F.col("htid").alias("doc_id"), "page", "token", "count")
+
+
 def q_daily_rollup(spark, sf_dir):
     """windowed feature build: per-user daily event rollup."""
     ev = _t(spark, sf_dir, "events")
@@ -855,6 +894,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "lag_delta": q_lag_delta,
         "ffill_views": q_ffill_views,
+        "bfill_views": q_bfill_views,
+        "term_volume_freqs": q_term_volume_freqs,
+        "page_select": q_page_select,
         "daily_rollup": q_daily_rollup,
         "session_stats": q_session_stats,
         "seq_pit_features": q_seq_pit_features,
@@ -1179,6 +1221,28 @@ def oracle_sql() -> dict[str, str]:
                    OVER (PARTITION BY user_id ORDER BY ts
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_value
           FROM events
+        """,
+        "bfill_views": """
+          SELECT event_id,
+                 first_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS view_value
+          FROM events
+        """,
+        "term_volume_freqs": f"""
+          WITH pf AS (
+            SELECT doc_id, token, CAST(count(DISTINCT page) AS BIGINT) AS n_pages
+            FROM ({_SQL_TOKENS}) GROUP BY 1, 2)
+          SELECT doc_id, token, n_pages,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY n_pages DESC, token ASC
+                 ) AS BIGINT) AS rnk
+          FROM pf
+          QUALIFY rnk <= 25
+        """,
+        "page_select": f"""
+          SELECT doc_id, page, token, CAST(count(*) AS BIGINT) AS count
+          FROM ({_SQL_TOKENS}) WHERE page = 2 GROUP BY 1, 2, 3
         """,
         "daily_rollup": """
           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
