@@ -136,13 +136,13 @@ def resume_write(
     return manifest
 
 
-def verify_output(spark: SparkSession, path: str) -> list[str]:
-    """Recompute per-partition digests from stored data; return a list of
-    discrepancies (empty == clean)."""
+def _diff_output(spark: SparkSession, path: str) -> dict[str, str] | None:
+    """Structured manifest-vs-data discrepancies: {partition: kind} with
+    kind in {'missing', 'corrupt', 'unmanifested'}; None if no manifest."""
     manifest = read_manifest(path)
     pcol = manifest.get("partition_col")
     if not pcol:
-        return ["no manifest"]
+        return None
     stored = spark.read.parquet(path)
     # partition column comes back from the directory layout; normalize order
     cols = [c for c in stored.columns if c != pcol] + [pcol]
@@ -150,16 +150,57 @@ def verify_output(spark: SparkSession, path: str) -> list[str]:
         str(r["partition"]): (r["row_count"], str(r["digest"]))
         for r in partition_digests(stored.select(*cols), pcol).collect()
     }
-    problems = []
+    problems: dict[str, str] = {}
     for part, meta in manifest["partitions"].items():
         if part not in recomputed:
-            problems.append(f"partition {part} missing from data")
+            problems[part] = "missing"
         elif (meta["row_count"], meta["digest"]) != recomputed[part]:
-            problems.append(
-                f"partition {part}: manifest {meta} != data "
-                f"{{'row_count': {recomputed[part][0]}, 'digest': {recomputed[part][1]!r}}}"
-            )
+            problems[part] = "corrupt"
     for part in recomputed:
         if part not in manifest["partitions"]:
-            problems.append(f"partition {part} present in data but not manifest")
+            problems[part] = "unmanifested"
     return problems
+
+
+def verify_output(spark: SparkSession, path: str) -> list[str]:
+    """Recompute per-partition digests from stored data; return a list of
+    discrepancies (empty == clean)."""
+    diff = _diff_output(spark, path)
+    if diff is None:
+        return ["no manifest"]
+    msgs = {
+        "missing": "partition {p} missing from data",
+        "corrupt": "partition {p}: manifest digest != data digest",
+        "unmanifested": "partition {p} present in data but not manifest",
+    }
+    return [msgs[kind].format(p=p) for p, kind in sorted(diff.items())]
+
+
+def invalidate_partitions(path: str, partitions: list[str]) -> dict:
+    """Evict partitions from the manifest so the next ``resume_write``
+    recomputes them (their data, if any, is replaced by the dynamic
+    overwrite — never appended to)."""
+    manifest = read_manifest(path)
+    for p in partitions:
+        manifest["partitions"].pop(str(p), None)
+    _write_manifest(path, manifest)
+    return manifest
+
+
+def repair_write(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    snapshot_id: str = "unversioned",
+) -> dict:
+    """Detect out-of-band damage (data deleted or corrupted AFTER its
+    manifest entry landed — the failure mode plain ``resume_write`` cannot
+    see, since it trusts the manifest) and rewrite exactly the damaged
+    partitions. One verification scan + one partial write; healthy
+    partitions are never rewritten."""
+    spark = df.sparkSession
+    diff = _diff_output(spark, path) or {}
+    bad = [p for p, kind in diff.items() if kind in ("missing", "corrupt")]
+    if bad:
+        invalidate_partitions(path, bad)
+    return resume_write(df, path, partition_col, snapshot_id=snapshot_id)

@@ -94,3 +94,25 @@ def test_digest_invariant_to_partitioning(spark, df, tmp_path):
     b = {r["partition"]: (r["row_count"], r["digest"])
          for r in partition_digests(df.repartition(37), "bucket").collect()}
     assert a == b
+
+
+def test_repair_write_heals_out_of_band_damage(spark, df, tmp_path):
+    """Data deleted or corrupted AFTER its manifest entry landed is the
+    failure mode resume_write can't see (it trusts the manifest);
+    repair_write diffs manifest vs data and rewrites exactly the damaged
+    partitions."""
+    import shutil
+
+    from htrc_feature_reader_spark.plans import repair_write
+
+    path = str(tmp_path / "out")
+    write_partitioned(df, path, "bucket", snapshot_id="snap1")
+    shutil.rmtree(f"{path}/bucket=3")  # out-of-band loss
+    shutil.rmtree(f"{path}/bucket=7")
+    # resume alone does NOT heal: manifest says both are done
+    resume_write(df, path, "bucket", snapshot_id="snap1")
+    assert len(verify_output(spark, path)) == 2
+
+    repair_write(df, path, "bucket", snapshot_id="snap1")
+    assert verify_output(spark, path) == []
+    assert spark.read.parquet(path).count() == 1000
