@@ -831,15 +831,30 @@ def q_metadata_roundtrip(spark, sf_dir):
     from htrc_feature_reader_spark.sources.ef_json_sink import write_ef_json
 
     docs = _t(spark, sf_dir, "documents")
+    doc_s = F.col("doc_id").cast("string")
     vols = docs.select(
-        F.col("doc_id").cast("string").alias("htid"),
-        F.concat(F.lit("Doc "), F.col("doc_id").cast("string")).alias("title"),
+        doc_s.alias("htid"),
+        F.concat(F.lit("Doc "), doc_s).alias("title"),
         (F.pmod(F.col("doc_id"), F.lit(100)) + 1900).cast("string").alias("pub_date"),
         F.col("lang").alias("language"),
         F.array(F.col("source")).alias("names"),
         F.array(F.lit("fiction"), F.lit("not fiction")).alias("genre"),
         F.col("source").alias("source_institution"),
         F.lit("open").alias("access_profile"),
+        # 1.3-era + all-era optional fields (full sink field map)
+        F.concat(F.lit("https://example.org/bib/"), doc_s).alias("ht_bib_url"),
+        F.concat(F.lit("hdl/2027/"), doc_s).alias("handle_url"),
+        F.concat(F.lit("Imprint "), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")).alias("imprint"),
+        F.array(F.concat(F.lit("isbn-"), doc_s)).alias("isbn"),
+        F.array(F.concat(F.lit("oclc-"), doc_s)).alias("oclc"),
+        F.lit("monographic").alias("issuance"),
+        F.lit("BK").alias("bibliographic_format"),
+        (F.pmod(F.col("doc_id"), F.lit(2)) == 0).alias("government_document"),
+        F.lit("pd").alias("rights_attributes"),
+        F.lit("xx").alias("pub_place"),
+        F.lit("text").alias("type_of_resource"),
+        (F.pmod(F.col("doc_id"), F.lit(100)) + 1900).cast("string").alias("date_created"),
+        F.concat(F.lit("v."), F.pmod(F.col("doc_id"), F.lit(5)).cast("string")).alias("enumeration_chronology"),
     )
     tiny_tl = docs.select(
         F.col("doc_id").cast("string").alias("htid"),
@@ -862,6 +877,19 @@ def q_metadata_roundtrip(spark, sf_dir):
         "source_institution",
         "access_profile",
         F.col("page_count").cast("bigint").alias("page_count"),
+        "ht_bib_url",
+        "handle_url",
+        "imprint",
+        F.array_join("isbn", ",").alias("isbn_csv"),
+        F.array_join("oclc", ",").alias("oclc_csv"),
+        "issuance",
+        "bibliographic_format",
+        "government_document",
+        "rights_attributes",
+        "pub_place",
+        "type_of_resource",
+        "date_created",
+        "enumeration_chronology",
     )
 
 
@@ -1400,7 +1428,20 @@ def oracle_sql() -> dict[str, str]:
                  'fiction,not fiction' AS genre_csv,
                  source AS source_institution,
                  'open' AS access_profile,
-                 CAST(1 AS BIGINT) AS page_count
+                 CAST(1 AS BIGINT) AS page_count,
+                 'https://example.org/bib/' || CAST(doc_id AS VARCHAR) AS ht_bib_url,
+                 'hdl/2027/' || CAST(doc_id AS VARCHAR) AS handle_url,
+                 'Imprint ' || CAST(doc_id % 7 AS VARCHAR) AS imprint,
+                 'isbn-' || CAST(doc_id AS VARCHAR) AS isbn_csv,
+                 'oclc-' || CAST(doc_id AS VARCHAR) AS oclc_csv,
+                 'monographic' AS issuance,
+                 'BK' AS bibliographic_format,
+                 doc_id % 2 = 0 AS government_document,
+                 'pd' AS rights_attributes,
+                 'xx' AS pub_place,
+                 'text' AS type_of_resource,
+                 CAST(1900 + doc_id % 100 AS VARCHAR) AS date_created,
+                 'v.' || CAST(doc_id % 5 AS VARCHAR) AS enumeration_chronology
           FROM documents
         """,
         "stopword_filter": f"""

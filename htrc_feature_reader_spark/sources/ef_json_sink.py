@@ -116,15 +116,40 @@ def write_ef_json(
         )
     )
     if volumes is not None:
-        meta = volumes.select(
-            "htid",
-            F.struct(
-                F.col("title"), F.col("pub_date").alias("pubDate"),
-                F.col("language"), F.col("names"), F.col("genre"),
-                F.col("source_institution").alias("sourceInstitution"),
-                F.col("access_profile").alias("accessProfile"),
-            ).alias("metadata"),
-        )
+        # full snake_case -> camelCase field map (inverse of
+        # volumes_from_ef / reference parsers.py:145-174); optional columns
+        # are written only when the caller's volumes table carries them
+        field_map = {
+            "title": "title",
+            "pub_date": "pubDate",
+            "language": "language",
+            "names": "names",
+            "genre": "genre",
+            "source_institution": "sourceInstitution",
+            "access_profile": "accessProfile",
+            "ht_bib_url": "htBibUrl",
+            "handle_url": "handleUrl",
+            "imprint": "imprint",
+            "isbn": "isbn",
+            "issn": "issn",
+            "lccn": "lccn",
+            "oclc": "oclc",
+            "classification": "classification",
+            "issuance": "issuance",
+            "bibliographic_format": "bibliographicFormat",
+            "government_document": "governmentDocument",
+            "rights_attributes": "rightsAttributes",
+            "pub_place": "pubPlace",
+            "type_of_resource": "typeOfResource",
+            "date_created": "dateCreated",
+            "enumeration_chronology": "enumerationChronology",
+        }
+        fields = [
+            F.col(snake).alias(camel)
+            for snake, camel in field_map.items()
+            if snake in volumes.columns
+        ]
+        meta = volumes.select("htid", F.struct(*fields).alias("metadata"))
         vols = vols.join(meta, on="htid", how="left")
     w = vols.write.mode(mode)
     if compression:
