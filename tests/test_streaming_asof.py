@@ -119,3 +119,65 @@ def test_stream_asof_state_across_micro_batches(spark, tmp_path):
     finally:
         q.stop()
     assert got == {("a", _mins(1)): 7.0, ("a", _mins(2)): 7.0}
+
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_key = st.sampled_from(["a", "b", "c"])
+_minutes = st.integers(min_value=0, max_value=30)
+
+
+@st.composite
+def _stream_frames(draw):
+    build = draw(st.lists(st.tuples(_key, _minutes, st.floats(-10, 10, allow_nan=False)),
+                          min_size=0, max_size=20))
+    probe = draw(st.lists(st.tuples(_key, _minutes, st.integers(0, 99)),
+                          min_size=1, max_size=20))
+    # unique build ts per key: tie among equal build timestamps is
+    # input-order-defined in both engines, not a semantics difference
+    seen = set()
+    build = [r for r in build
+             if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+    return build, probe
+
+
+_fuzz_n = [0]
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(frames=_stream_frames())
+def test_stream_asof_property_matches_batch(spark, tmp_path_factory, frames):
+    build_rows, probe_rows = frames
+    _fuzz_n[0] += 1
+    tag = _fuzz_n[0]
+    tmp = tmp_path_factory.mktemp(f"sasof{tag}")
+    build = spark.createDataFrame(
+        [(k, _mins(m), v) for k, m, v in build_rows] or [("zz", _mins(0), 0.0)],
+        "key string, ts timestamp, price double",
+    )
+    probe = spark.createDataFrame(
+        [(k, _mins(m), q) for k, m, q in probe_rows],
+        "key string, ts timestamp, qty long",
+    )
+    bpath, ppath = str(tmp / "b"), str(tmp / "p")
+    build.coalesce(1).write.parquet(bpath)
+    probe.coalesce(1).write.parquet(ppath)
+    bs = spark.readStream.schema(build.schema).parquet(bpath)
+    ps = spark.readStream.schema(probe.schema).parquet(ppath)
+    out = stream_asof_join(ps, bs, on="key", ts="ts")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(f"sasof_fuzz_{tag}").trigger(availableNow=True).start())
+    q.awaitTermination()
+    def _canon(rows):  # None-safe sort key (duplicate probe rows possible)
+        return sorted(
+            ((r["key"], r["ts"], r["qty"], r["price"]) for r in rows),
+            key=lambda t: (t[0], t[1], t[2], t[3] is None, t[3] or 0.0),
+        )
+
+    got = _canon(spark.sql(f"select * from sasof_fuzz_{tag}").collect())
+    expect = _canon(asof_join(probe, build, on="key", ts="ts").collect())
+    assert got == expect
