@@ -181,3 +181,19 @@ def test_stream_asof_property_matches_batch(spark, tmp_path_factory, frames):
     got = _canon(spark.sql(f"select * from sasof_fuzz_{tag}").collect())
     expect = _canon(asof_join(probe, build, on="key", ts="ts").collect())
     assert got == expect
+
+
+def test_stream_asof_single_shuffle_plan(spark, tmp_path):
+    """Both streams share ONE exchange (the state operator's key hash) —
+    the same single-shuffle shape as the batch union-window strategy."""
+    build, probe, bs, ps = _write_streams(
+        spark, tmp_path, [("a", _mins(0), 1.0)], [("a", _mins(1), 1)]
+    )
+    out = stream_asof_join(ps, bs, on="key", ts="ts")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("asof_plan").trigger(availableNow=True).start())
+    q.awaitTermination()
+    plan = q._jsq.explainInternal(False)
+    assert plan.count("Exchange") == 1
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1
+    assert "Union" in plan
