@@ -893,6 +893,59 @@ def q_metadata_roundtrip(spark, sf_dir):
     )
 
 
+def q_section_features_roundtrip(spark, sf_dir):
+    """S4/A5/F4 composed under the driver's hard signal: deterministic
+    per-(doc, page, section) scalar features -> EF JSON sink -> re-extract
+    (section_features_from_ef) -> 'group' fold summing body+header per
+    page. Cell-exact vs the oracle recomputing the same formulas."""
+    from htrc_feature_reader_spark.operators.sections import fold_section_features
+    from htrc_feature_reader_spark.sources.ef_json import (
+        read_ef_json,
+        section_features_from_ef,
+    )
+    from htrc_feature_reader_spark.sources.ef_json_sink import write_ef_json
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("page"),
+    )
+    d, p = F.col("doc_id"), F.col("page").cast("long")
+
+    def feats(section, m1, m2):
+        return base.select(
+            F.col("doc_id").cast("string").alias("htid"),
+            "page",
+            F.lit(section).alias("section"),
+            F.pmod(d * m1 + p, F.lit(100)).alias("tokenCount"),
+            F.pmod(d + p * m2, F.lit(50)).alias("lineCount"),
+            F.pmod(p * m1, F.lit(5)).alias("emptyLineCount"),
+            F.pmod(d * m2 + p, F.lit(30)).alias("sentenceCount"),
+            F.pmod(d + p + m1, F.lit(9)).alias("capAlphaSeq"),
+        )
+
+    sec_feats = feats("body", 7, 3).unionByName(feats("header", 5, 2))
+    # tokens must exist wherever features do: the sink emits a section
+    # struct only for (htid, page, section) keys present in the tokenlist
+    tl = sec_feats.select(
+        "htid", "page", "section",
+        F.lit("tok").alias("token"), F.lit("UNK").alias("pos"),
+        F.lit(1).cast("long").alias("count"),
+    )
+    path = _rt_path(sf_dir, "secfeat")
+    write_ef_json(path, tokenlist=tl, section_features=sec_feats)
+    back = section_features_from_ef(read_ef_json(spark, path))
+    out = fold_section_features(back, section="group", doc_col="htid")
+    return out.select(
+        F.col("htid").cast("bigint").alias("doc_id"),
+        F.col("page").cast("bigint").alias("page"),
+        *[F.col(c).cast("bigint").alias(c) for c in (
+            "tokenCount", "lineCount", "emptyLineCount",
+            "sentenceCount", "capAlphaSeq",
+        )],
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -947,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quad_roundtrip": q_quad_roundtrip,
         "ef_json_roundtrip": q_ef_json_roundtrip,
         "metadata_roundtrip": q_metadata_roundtrip,
+        "section_features_roundtrip": q_section_features_roundtrip,
     }
 
 
@@ -1396,6 +1450,15 @@ def oracle_sql() -> dict[str, str]:
           FROM per
           JOIN totals USING (doc_id)
           JOIN dfreq USING (token), n
+        """,
+        "section_features_roundtrip": """
+          SELECT doc_id, CAST(p.page AS BIGINT) AS page,
+                 CAST((doc_id*7 + p.page) % 100 + (doc_id*5 + p.page) % 100 AS BIGINT) AS "tokenCount",
+                 CAST((doc_id + p.page*3) % 50 + (doc_id + p.page*2) % 50 AS BIGINT) AS "lineCount",
+                 CAST((p.page*7) % 5 + (p.page*5) % 5 AS BIGINT) AS "emptyLineCount",
+                 CAST((doc_id*3 + p.page) % 30 + (doc_id*2 + p.page) % 30 AS BIGINT) AS "sentenceCount",
+                 CAST((doc_id + p.page + 7) % 9 + (doc_id + p.page + 5) % 9 AS BIGINT) AS "capAlphaSeq"
+          FROM documents CROSS JOIN (VALUES (1), (2), (3)) AS p(page)
         """,
         "fingerprint": r"""
           SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
