@@ -946,6 +946,56 @@ def q_section_features_roundtrip(spark, sf_dir):
     )
 
 
+def q_line_chars_roundtrip(spark, sf_dir):
+    """S3 + the sink's char-map path: deterministic begin/end line-char
+    counts -> EF JSON (beginCharCounts/endCharCount maps) -> re-extract
+    (line_chars_from_ef) -> place-'group' fold. Cell-exact."""
+    from htrc_feature_reader_spark.operators.linechars import fold_linechars
+    from htrc_feature_reader_spark.sources.ef_json import (
+        line_chars_from_ef,
+        read_ef_json,
+    )
+    from htrc_feature_reader_spark.sources.ef_json_sink import write_ef_json
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("page"),
+    ).select(  # one generator per select list
+        "doc_id", "page",
+        F.explode(F.array(F.lit("a"), F.lit("b"), F.lit("z"))).alias("char"),
+    )
+    d, p = F.col("doc_id"), F.col("page").cast("long")
+    ch = F.ascii("char").cast("long")
+
+    def chars(place, m):
+        return base.select(
+            F.col("doc_id").cast("string").alias("htid"),
+            "page",
+            F.lit("body").alias("section"),
+            F.lit(place).alias("place"),
+            "char",
+            (F.pmod(d * m + p + ch, F.lit(40)) + 1).alias("count"),
+        )
+
+    lc = chars("begin", 3).unionByName(chars("end", 11))
+    tl = lc.select(
+        "htid", "page", "section",
+        F.lit("tok").alias("token"), F.lit("UNK").alias("pos"),
+        F.lit(1).cast("long").alias("count"),
+    ).distinct()
+    path = _rt_path(sf_dir, "linechars")
+    write_ef_json(path, tokenlist=tl, line_chars=lc)
+    back = line_chars_from_ef(read_ef_json(spark, path))
+    out = fold_linechars(back, section="all", place="group", doc_col="htid")
+    return out.select(
+        F.col("htid").cast("bigint").alias("doc_id"),
+        F.col("page").cast("bigint").alias("page"),
+        "char",
+        F.col("count").cast("bigint").alias("count"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -1001,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ef_json_roundtrip": q_ef_json_roundtrip,
         "metadata_roundtrip": q_metadata_roundtrip,
         "section_features_roundtrip": q_section_features_roundtrip,
+        "line_chars_roundtrip": q_line_chars_roundtrip,
     }
 
 
@@ -1459,6 +1510,14 @@ def oracle_sql() -> dict[str, str]:
                  CAST((doc_id*3 + p.page) % 30 + (doc_id*2 + p.page) % 30 AS BIGINT) AS "sentenceCount",
                  CAST((doc_id + p.page + 7) % 9 + (doc_id + p.page + 5) % 9 AS BIGINT) AS "capAlphaSeq"
           FROM documents CROSS JOIN (VALUES (1), (2), (3)) AS p(page)
+        """,
+        "line_chars_roundtrip": """
+          SELECT doc_id, CAST(p.page AS BIGINT) AS page, c.ch AS char,
+                 CAST((doc_id*3 + p.page + ascii(c.ch)) % 40 + 1
+                    + (doc_id*11 + p.page + ascii(c.ch)) % 40 + 1 AS BIGINT) AS count
+          FROM documents
+          CROSS JOIN (VALUES (1), (2)) AS p(page)
+          CROSS JOIN (VALUES ('a'), ('b'), ('z')) AS c(ch)
         """,
         "fingerprint": r"""
           SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
