@@ -996,6 +996,54 @@ def q_line_chars_roundtrip(spark, sf_dir):
     )
 
 
+def q_page_features_roundtrip(spark, sf_dir):
+    """S5: per-page scalars (version / calculatedLanguage / languages)
+    through the sink and back out via page_features_from_ef."""
+    from htrc_feature_reader_spark.sources.ef_json import (
+        page_features_from_ef,
+        read_ef_json,
+    )
+    from htrc_feature_reader_spark.sources.ef_json_sink import write_ef_json
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = docs.select(
+        "doc_id", "lang",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("page"),
+    )
+    pf = base.select(
+        F.col("doc_id").cast("string").alias("htid"),
+        "page",
+        F.concat(F.lit("v"), F.pmod(F.col("doc_id"), F.lit(4)).cast("string")).alias("version"),
+        F.col("lang").alias("calculatedLanguage"),
+        # EF schema: languages is a list of {lang: prob} maps
+        F.array(F.create_map(F.col("lang"), F.lit("1.0"))).alias("languages"),
+    )
+    tl = pf.select(
+        "htid", "page", F.lit("body").alias("section"),
+        F.lit("tok").alias("token"), F.lit("UNK").alias("pos"),
+        F.lit(1).cast("long").alias("count"),
+    )
+    path = _rt_path(sf_dir, "pagefeat")
+    write_ef_json(path, tokenlist=tl, page_features=pf)
+    back = page_features_from_ef(read_ef_json(spark, path))
+    return back.select(
+        F.col("htid").cast("bigint").alias("doc_id"),
+        F.col("page").cast("bigint").alias("page"),
+        "version",
+        F.col("calculatedLanguage").alias("calc_lang"),
+        F.array_join(
+            F.transform(
+                "languages",
+                lambda m: F.concat(
+                    F.element_at(F.map_keys(m), 1), F.lit(":"),
+                    F.element_at(F.map_values(m), 1),
+                ),
+            ),
+            ",",
+        ).alias("languages_csv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -1052,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metadata_roundtrip": q_metadata_roundtrip,
         "section_features_roundtrip": q_section_features_roundtrip,
         "line_chars_roundtrip": q_line_chars_roundtrip,
+        "page_features_roundtrip": q_page_features_roundtrip,
     }
 
 
@@ -1518,6 +1567,13 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
           CROSS JOIN (VALUES (1), (2)) AS p(page)
           CROSS JOIN (VALUES ('a'), ('b'), ('z')) AS c(ch)
+        """,
+        "page_features_roundtrip": """
+          SELECT doc_id, CAST(p.page AS BIGINT) AS page,
+                 'v' || CAST(doc_id % 4 AS VARCHAR) AS version,
+                 lang AS calc_lang,
+                 lang || ':1.0' AS languages_csv
+          FROM documents CROSS JOIN (VALUES (1), (2)) AS p(page)
         """,
         "fingerprint": r"""
           SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp

@@ -61,10 +61,15 @@ def write_ef_json(
     section_features: DataFrame | None = None,
     line_chars: DataFrame | None = None,
     volumes: DataFrame | None = None,
+    page_features: DataFrame | None = None,
     compression: str | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Re-assemble EF v3.0 nested volumes and write NDJSON."""
+    """Re-assemble EF v3.0 nested volumes and write NDJSON.
+
+    ``page_features``: optional (htid, page, version, calculatedLanguage,
+    languages) rows — written as per-page scalars, the inverse of
+    ``page_features_from_ef``."""
     secs = _section_struct(tokenlist, section_features, line_chars)
     sec_struct = F.struct(
         "tokenCount", "lineCount", "emptyLineCount", "sentenceCount",
@@ -84,6 +89,19 @@ def write_ef_json(
             sum(F.coalesce(F.col(f"{s}.tokenCount"), F.lit(0)) for s in SECTIONS),
         )
     )
+    if page_features is not None:
+        pages = pages.join(
+            page_features.select(
+                "htid", "page", "version", "calculatedLanguage", "languages"
+            ),
+            on=["htid", "page"], how="left",
+        )
+    else:
+        pages = (
+            pages.withColumn("version", F.lit(None).cast("string"))
+            .withColumn("calculatedLanguage", F.lit(None).cast("string"))
+            .withColumn("languages", F.lit(None).cast("array<string>"))
+        )
     vols = (
         pages.orderBy("page")
         .groupBy("htid")
@@ -92,7 +110,9 @@ def write_ef_json(
             # an explicit comparator
             F.array_sort(
                 F.collect_list(F.struct(
-                    "page", "seq", "tokenCount", *[F.col(s) for s in SECTIONS]
+                    "page", "seq", "tokenCount", "version",
+                    "calculatedLanguage", "languages",
+                    *[F.col(s) for s in SECTIONS]
                 )),
                 lambda l, r: F.when(l["page"] < r["page"], -1)
                 .when(l["page"] > r["page"], 1)
@@ -109,6 +129,9 @@ def write_ef_json(
                     lambda p: F.struct(
                         p["seq"].alias("seq"),
                         p["tokenCount"].alias("tokenCount"),
+                        p["version"].alias("version"),
+                        p["calculatedLanguage"].alias("calculatedLanguage"),
+                        p["languages"].alias("languages"),
                         *[p[s].alias(s) for s in SECTIONS],
                     ),
                 ).alias("pages"),
