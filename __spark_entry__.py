@@ -491,7 +491,7 @@ def q_jaccard_pairs(spark, sf_dir):
     boilerplate shingles at corpus scale)."""
     docs = _t(spark, sf_dir, "documents")
     sh = word_shingles(docs, "text", "doc_id", n=3)
-    sh = remove_stop_shingles(sh, max_df_frac=0.5)
+    sh = remove_stop_shingles(sh, max_df_frac=0.5, assume_distinct=True)
     return jaccard_pairs(sh, threshold=0.2).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jacc"
     )
@@ -509,7 +509,8 @@ def q_minhash_lsh(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     ds = word_shingle_ids(docs, "text", "doc_id", n=3)
-    ds = remove_stop_shingles(ds, max_df_frac=0.5, shingle_col="shingle_id")
+    ds = remove_stop_shingles(ds, max_df_frac=0.5, shingle_col="shingle_id",
+                              assume_distinct=True)
     sigs = minhash_signatures(ds, n_hashes=_MH_N, seed=_MH_SEED)
     return lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")

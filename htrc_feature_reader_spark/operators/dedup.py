@@ -173,6 +173,7 @@ def remove_stop_shingles(
     max_df_frac: float | None = 0.5,
     id_col: str = "id",
     shingle_col: str = "shingle",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Drop stop-shingles — shingles present in more than ``max_df`` docs
     (or ``max_df_frac`` of all docs) — before MinHash/LSH or Jaccard.
@@ -195,11 +196,14 @@ def remove_stop_shingles(
         return doc_shingles
     # document frequency = DISTINCT docs per shingle: inputs with repeated
     # (doc, shingle) rows (non-deduped shingle streams) must not inflate df.
-    # Two-level distinct-then-count keeps the agg map-side combinable.
-    counts = (
-        doc_shingles.select(id_col, shingle_col).distinct()
-        .groupBy(shingle_col).agg(F.count(F.lit(1)).alias("__df"))
-    )
+    # assume_distinct=True skips the dedup shuffle — pass it when the input
+    # is already distinct per (doc, shingle) (word_shingles /
+    # word_shingle_ids both end in .distinct()), keeping the hot paths at
+    # one map-side-combinable aggregate over the shingle table.
+    pairs = doc_shingles.select(id_col, shingle_col)
+    if not assume_distinct:
+        pairs = pairs.distinct()
+    counts = pairs.groupBy(shingle_col).agg(F.count(F.lit(1)).alias("__df"))
     if max_df is not None:
         stop = counts.filter(F.col("__df") > max_df)
     else:

@@ -97,11 +97,10 @@ def fold_tokenlist(
     cols = set(df.columns)
     pagecol = _page_colname(df)
 
-    if section == "default":
-        # inherit default_page_section='body' (feature_reader.py:349) when
-        # the level exists; on partial schemas fold across what's stored —
-        # only EXPLICIT slice requests raise on sectionless tables
-        section = "body" if "section" in cols else "group"
+    # 'default' inherits body / degrades to cross-section fold on
+    # sectionless tables; explicit slices on sectionless tables raise —
+    # one rule, one place (_resolve_section)
+    section = _resolve_section(df, section)
     if (pages or page_select is not None) and pagecol is None:
         raise MissingFieldError("table has neither 'page' nor 'chunk' column")
     if page_select is not None and not pages:

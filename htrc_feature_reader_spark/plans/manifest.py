@@ -143,7 +143,12 @@ def _diff_output(spark: SparkSession, path: str) -> dict[str, str] | None:
     pcol = manifest.get("partition_col")
     if not pcol:
         return None
-    stored = spark.read.parquet(path)
+    try:
+        stored = spark.read.parquet(path)
+    except Exception:
+        # total data loss (only _manifest.json left): every manifest
+        # partition is missing — exactly what repair_write must rebuild
+        return {p: "missing" for p in manifest["partitions"]}
     # partition column comes back from the directory layout; normalize order
     cols = [c for c in stored.columns if c != pcol] + [pcol]
     recomputed = {

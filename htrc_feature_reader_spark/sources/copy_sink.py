@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _CODEC_EXT = {"bz2": ".bz2", "gz": ".gz", None: ""}
 
@@ -87,6 +88,18 @@ def copy_volumes(
     os.makedirs(dest_dir, exist_ok=True)
     files = spark.read.format("binaryFile").load(src_glob)
 
+    # same-basename sources (a glob spanning nested pairtree dirs) would
+    # silently last-writer-win in a flat dest_dir: detect duplicates with
+    # one metadata-only aggregate (content column pruned away) and
+    # disambiguate those — and only those — with a stable 8-hex prefix of
+    # the full source path
+    dupe_bases = {
+        r["b"]
+        for r in files.select(
+            F.element_at(F.split("path", "/"), -1).alias("b")
+        ).groupBy("b").count().filter(F.col("count") > 1).collect()
+    }
+
     def copy_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
@@ -98,6 +111,11 @@ def copy_volumes(
                 src_codec = _codec_of(local)
                 dst_codec = src_codec if compression == "same" else compression
                 base = os.path.basename(local)
+                if base in dupe_bases:
+                    import hashlib
+
+                    h8 = hashlib.sha1(local.encode()).hexdigest()[:8]
+                    base = f"{h8}.{base}"
                 skip = dst_codec == src_codec
                 if skip:
                     payload = bytes(content)

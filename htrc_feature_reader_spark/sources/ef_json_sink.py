@@ -79,29 +79,30 @@ def write_ef_json(
         secs.groupBy("htid", "page")
         .pivot("section", list(SECTIONS))
         .agg(F.first(sec_struct))
-        .select(
-            "htid", "page",
-            F.format_string("%08d", F.col("page")).alias("seq"),
-            *[F.col(s).alias(s) for s in SECTIONS],
-        )
-        .withColumn(
-            "tokenCount",
-            sum(F.coalesce(F.col(f"{s}.tokenCount"), F.lit(0)) for s in SECTIONS),
-        )
+        .select("htid", "page", *[F.col(s).alias(s) for s in SECTIONS])
     )
     if page_features is not None:
+        # FULL outer: a blank page (features but zero tokens in any
+        # section) must still be written — the sink is the inverse of
+        # page_features_from_ef, and pageCount counts it
         pages = pages.join(
             page_features.select(
                 "htid", "page", "version", "calculatedLanguage", "languages"
             ),
-            on=["htid", "page"], how="left",
+            on=["htid", "page"], how="full_outer",
         )
     else:
         pages = (
             pages.withColumn("version", F.lit(None).cast("string"))
             .withColumn("calculatedLanguage", F.lit(None).cast("string"))
-            .withColumn("languages", F.lit(None).cast("array<string>"))
+            .withColumn("languages", F.lit(None).cast("array<map<string,string>>"))
         )
+    pages = pages.withColumn(
+        "seq", F.format_string("%08d", F.col("page"))
+    ).withColumn(
+        "tokenCount",
+        sum(F.coalesce(F.col(f"{s}.tokenCount"), F.lit(0)) for s in SECTIONS),
+    )
     vols = (
         pages.orderBy("page")
         .groupBy("htid")

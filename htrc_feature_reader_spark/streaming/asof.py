@@ -113,6 +113,14 @@ def stream_asof_join(
             out = {c: [] for c in (on, ts, *probe_payload, *value_cols)}
             for i in range(len(pdf)):
                 if sides[i] == 0:
+                    # a LATE build row (older than last-known state, i.e.
+                    # out-of-order across micro-batches) must not regress
+                    # state: overwriting would serve probes stale values
+                    # and could leave prev_ts AFTER last_ts (a future-value
+                    # leak under allow_exact_matches=False). Drop it — the
+                    # documented last-known-state relaxation.
+                    if last_ts is not None and tss[i] < last_ts:
+                        continue
                     if last_ts is not None and tss[i] > last_ts:
                         prev_ts, prev_vals = last_ts, last_vals
                     last_ts = tss[i]
@@ -133,7 +141,11 @@ def stream_asof_join(
                     out[c].append(v if hit else None)
             if out[on]:  # all-build batches yield nothing (append mode)
                 yield pd.DataFrame(out)
-        state.update((last_ts, *last_vals, prev_ts, *prev_vals))
+        if last_ts is not None:
+            # probe-only keys carry nothing worth remembering — updating
+            # would allocate permanent per-key state (NoTimeout) that grows
+            # with probe-key cardinality forever
+            state.update((last_ts, *last_vals, prev_ts, *prev_vals))
 
     return tagged.groupBy("__k").applyInPandasWithState(
         join_fn,

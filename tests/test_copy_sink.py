@@ -53,3 +53,20 @@ def test_rerun_idempotent(spark, tmp_path):
     copy_volumes(spark, FIXTURE, dest).collect()
     copy_volumes(spark, FIXTURE, dest).collect()  # overwrite, not append
     assert len(os.listdir(dest)) == 1
+
+
+def test_duplicate_basenames_disambiguated(spark, tmp_path):
+    """Two same-named source files in different dirs must not last-writer-
+    win in the flat dest dir."""
+    src = tmp_path / "src"
+    (src / "a").mkdir(parents=True)
+    (src / "b").mkdir()
+    (src / "a" / "vol.json").write_bytes(b'{"htid": "a"}')
+    (src / "b" / "vol.json").write_bytes(b'{"htid": "b"}')
+    dest = str(tmp_path / "dst")
+    rows = copy_volumes(spark, f"{src}/*/vol.json", dest).collect()
+    assert len(rows) == 2
+    assert len({r["dest"] for r in rows}) == 2
+    for r in rows:
+        with open(r["src"], "rb") as fs, open(r["dest"], "rb") as fd:
+            assert fs.read() == fd.read()

@@ -246,3 +246,35 @@ def test_schema_version_gate(spark, tmp_path_factory):
     write_ef_json_fixtures(str(bad), n_volumes=1, era="2.0")
     with pytest.raises(UnsupportedSchemaVersion):
         read_ef_json(spark, str(bad), validate=True)
+
+
+def test_sink_keeps_blank_pages_with_page_features(spark, tmp_path):
+    """A page with page-features but zero tokens in any section must
+    survive the sink (pageCount counts it; the sink is the inverse of
+    page_features_from_ef)."""
+    from pyspark.sql import functions as F
+
+    from htrc_feature_reader_spark.sources.ef_json import (
+        page_features_from_ef,
+        read_ef_json,
+    )
+    from htrc_feature_reader_spark.sources.ef_json_sink import write_ef_json
+
+    tl = spark.createDataFrame(
+        [("v1", 1, "body", "tok", "UNK", 2)],
+        "htid string, page long, section string, token string, pos string, count long",
+    )
+    pf = spark.createDataFrame(
+        [("v1", 1, "vA", "eng"), ("v1", 2, "vA", "eng")],  # page 2 is blank
+        "htid string, page long, version string, calculatedLanguage string",
+    ).withColumn(
+        "languages",
+        F.array(F.create_map(F.lit("eng"), F.lit("1.0"))),
+    )
+    out = str(tmp_path / "blank")
+    write_ef_json(out, tokenlist=tl, page_features=pf)
+    raw = read_ef_json(spark, out)
+    assert raw.select("features.pageCount").collect()[0][0] == 2
+    back = page_features_from_ef(raw)
+    rows = {r["page"]: r["version"] for r in back.collect()}
+    assert rows == {1: "vA", 2: "vA"}

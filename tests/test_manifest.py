@@ -116,3 +116,20 @@ def test_repair_write_heals_out_of_band_damage(spark, df, tmp_path):
     repair_write(df, path, "bucket", snapshot_id="snap1")
     assert verify_output(spark, path) == []
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_repair_write_heals_total_data_loss(spark, df, tmp_path):
+    """All data gone, only _manifest.json left: repair must classify every
+    partition as missing and rebuild, not crash on an unreadable dir."""
+    import shutil
+
+    from htrc_feature_reader_spark.plans import repair_write
+
+    path = str(tmp_path / "out")
+    write_partitioned(df, path, "bucket", snapshot_id="snap1")
+    for d in list(__import__("os").listdir(path)):
+        if d.startswith("bucket="):
+            shutil.rmtree(f"{path}/{d}")
+    repair_write(df, path, "bucket", snapshot_id="snap1")
+    assert verify_output(spark, path) == []
+    assert spark.read.parquet(path).count() == 1000

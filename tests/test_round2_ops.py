@@ -188,3 +188,14 @@ def test_session_timezone_pinned_utc(spark):
     session timezone; the integer-microsecond arithmetic is only DST-safe
     because get_spark pins UTC — guard the pin."""
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_remove_stop_shingles_assume_distinct_equivalent(spark):
+    """assume_distinct=True must give identical results on already-distinct
+    input (it only skips the redundant dedup shuffle)."""
+    rows = [(d, s) for d in range(8) for s in ("x", "y", f"u{d}")]
+    df = spark.createDataFrame(rows, "id long, shingle string")
+    a = sorted(map(tuple, remove_stop_shingles(df, max_df=4).collect()))
+    b = sorted(map(tuple, remove_stop_shingles(
+        df, max_df=4, assume_distinct=True).collect()))
+    assert a == b and len(a) == 8  # x, y (df=8) dropped; u<d> kept

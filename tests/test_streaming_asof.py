@@ -197,3 +197,40 @@ def test_stream_asof_single_shuffle_plan(spark, tmp_path):
     assert plan.count("Exchange") == 1
     assert plan.count("FlatMapGroupsInPandasWithState") == 1
     assert "Union" in plan
+
+
+def test_stream_asof_late_build_row_does_not_regress_state(spark, tmp_path):
+    """A build row arriving out-of-order ACROSS micro-batches (older than
+    last-known state) is dropped — overwriting would serve probes stale
+    values and could leak a future value via the prev slot."""
+    bpath, ppath = str(tmp_path / "build"), str(tmp_path / "probe")
+    spark.createDataFrame(
+        [("a", _mins(60), 5.0)], "key string, ts timestamp, price double"
+    ).coalesce(1).write.parquet(bpath)
+    spark.createDataFrame(
+        [("a", _mins(61), 0)], "key string, ts timestamp, qty long"
+    ).coalesce(1).write.parquet(ppath)
+    bs = spark.readStream.schema("key string, ts timestamp, price double").parquet(bpath)
+    ps = spark.readStream.schema("key string, ts timestamp, qty long").parquet(ppath)
+    out = stream_asof_join(ps, bs, on="key", ts="ts")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("asof_late").start())
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE build row, older than state
+        spark.createDataFrame(
+            [("a", _mins(0), 3.0)], "key string, ts timestamp, price double"
+        ).coalesce(1).write.mode("append").parquet(bpath)
+        q.processAllAvailable()
+        # batch 3: probe after everything — must see 5.0, not the late 3.0
+        spark.createDataFrame(
+            [("a", _mins(120), 1)], "key string, ts timestamp, qty long"
+        ).coalesce(1).write.mode("append").parquet(ppath)
+        q.processAllAvailable()
+        got = {
+            (r["key"], r["ts"]): r["price"]
+            for r in spark.sql("select * from asof_late").collect()
+        }
+    finally:
+        q.stop()
+    assert got[("a", _mins(120))] == 5.0
