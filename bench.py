@@ -92,7 +92,10 @@ SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "320"))
 # and pooling later samples (phases decay) repairs whichever side inflated
 SCALE_RETRY_EFF = float(os.environ.get("SPARK_GRAFT_SCALE_RETRY_EFF", "0.84"))
 SCALE_RETRY_EFF_HI = float(os.environ.get("SPARK_GRAFT_SCALE_RETRY_EFF_HI", "1.10"))
-SCALE_TOTAL_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_TOTAL_S", "900"))
+# scaling budget: the host's slow phases last minutes, so the high side
+# needs headroom to wait one out (its samples cost ~30-60 s + one ~90-120 s
+# fresh-JVM warmup per top-up batch; the low side costs ~100 s + ~300 s)
+SCALE_TOTAL_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_TOTAL_S", "1500"))
 
 
 def _run_to_noop(df) -> None:
@@ -254,26 +257,37 @@ def main() -> None:
             return high["sequences_per_s"] / (ratio * low["sequences_per_s"])
 
         # top-up: under host interference the min estimator may not have
-        # converged (too low = high side unconverged; superlinear = low side
-        # sampled a slow phase); pool more measured runs while budget remains.
-        # A top-up only STARTS if its estimated cost (warmup + 1 low run +
-        # warmup + 2 high runs, from measured walls) fits the budget — an
-        # in-flight top-up can't be cancelled, so starting one at the budget
-        # edge could blow the driver's patience.
-        def _topup_est() -> float:
-            return (low["warmup_s"] + min(low["runs"])
-                    + high["warmup_s"] + 2 * min(high["runs"]) + 30)
+        # converged. DIRECTIONAL — a too-low reading means the high side's
+        # min is inflated (it never caught a quiet window), so buy MORE
+        # high samples only; a superlinear reading means the low side ate a
+        # slow phase, so buy a low sample. Re-sampling the healthy side too
+        # (the old symmetric top-up) burned ~400 s per round on a low-side
+        # JVM whose min was already converged. Per-spawn runs are batched
+        # (4 high / 1 low) so the fresh-JVM warmup amortizes. A top-up only
+        # STARTS if its estimated cost fits the remaining budget — an
+        # in-flight top-up can't be cancelled, so starting one at the
+        # budget edge could blow the driver's patience.
+        def _topup_est(side: dict, n: int) -> float:
+            return side["warmup_s"] + n * min(side["runs"]) + 20
 
         topups = 0
-        while (not (SCALE_RETRY_EFF <= _eff() <= SCALE_RETRY_EFF_HI)
-               and topups < 3
-               and time.time() - t_scale0 + _topup_est() < SCALE_TOTAL_BUDGET_S):
-            extra_low = _scaling_run(seq_path, cores=SCALE_LOW,
+        while topups < 6:
+            eff = _eff()
+            if SCALE_RETRY_EFF <= eff <= SCALE_RETRY_EFF_HI:
+                break
+            elapsed = time.time() - t_scale0
+            if eff < SCALE_RETRY_EFF:
+                if elapsed + _topup_est(high, 4) >= SCALE_TOTAL_BUDGET_S:
+                    break
+                extra = _scaling_run(seq_path, cores=SCALE_HIGH,
+                                     n_rows=scale_rows, n_toks=n_toks, n_runs=4)
+                high = _merge_side(high, extra, scale_rows, n_toks)
+            else:  # superlinear: the low side sampled a slow phase
+                if elapsed + _topup_est(low, 1) >= SCALE_TOTAL_BUDGET_S:
+                    break
+                extra = _scaling_run(seq_path, cores=SCALE_LOW,
                                      n_rows=scale_rows, n_toks=n_toks, n_runs=1)
-            extra_high = _scaling_run(seq_path, cores=SCALE_HIGH,
-                                      n_rows=scale_rows, n_toks=n_toks, n_runs=2)
-            low = _merge_side(low, extra_low, scale_rows, n_toks)
-            high = _merge_side(high, extra_high, scale_rows, n_toks)
+                low = _merge_side(low, extra, scale_rows, n_toks)
             topups += 1
 
         scaling = {
