@@ -223,6 +223,20 @@ def q_tokens_min_count(spark, sf_dir):
     return distinct_tokens(tl, case=True, min_count=5, doc_col="doc_id")
 
 
+def q_min_count_window(spark, sf_dir):
+    """W2 (the reference's literal groupwise-transform formulation of
+    min_count): window sum over (doc, token) broadcast back to rows,
+    filtered, then reduced to the row count per (doc, token) — same keep
+    set as tokens_min_count but through the window plan."""
+    from htrc_feature_reader_spark.operators.tokenlist import min_count_window
+
+    tl = _doc_tokens(spark, sf_dir)
+    kept = min_count_window(tl, min_count=5, case=True, doc_col="doc_id")
+    return kept.groupBy("doc_id", "token").agg(
+        F.sum("count").alias("total")
+    )
+
+
 def q_tokens_per_page(spark, sf_dir):
     """A6: per-page token totals."""
     tl = _doc_tokens(spark, sf_dir)
@@ -1061,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenlist_corpus": q_tokenlist_corpus,
         "page_freq": q_page_freq,
         "tokens_min_count": q_tokens_min_count,
+        "min_count_window": q_min_count_window,
         "term_doc_freqs": q_term_doc_freqs,
         "tokens_per_page": q_tokens_per_page,
         "term_page_pivot": q_term_page_pivot,
@@ -1298,6 +1313,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tokens_min_count": f"""
           SELECT doc_id, token
+          FROM ({_SQL_TOKENS}) GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
+        "min_count_window": f"""
+          SELECT doc_id, token, CAST(count(*) AS BIGINT) AS total
           FROM ({_SQL_TOKENS}) GROUP BY 1, 2 HAVING count(*) >= 5
         """,
         "term_doc_freqs": f"""
