@@ -1059,6 +1059,84 @@ def q_page_features_roundtrip(spark, sf_dir):
     )
 
 
+def q_training_pipeline(spark, sf_dir):
+    """The composed training-corpus cleaning pipeline
+    (operators/pipeline.py:clean_corpus): quality filter -> exact dedup
+    (keep-min per md5 digest) -> MinHash-LSH near-dup removal (keep-min
+    per candidate pair) -> token counting — ONE lazy plan. The oracle
+    replays the entire funnel, including the LSH candidate set, via the
+    shared exact-integer hash family."""
+    from htrc_feature_reader_spark.operators.pipeline import CleanConfig, clean_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out = clean_corpus(docs, CleanConfig())
+    return out.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+def _pipeline_sql() -> str:
+    """Oracle for q_training_pipeline: the full funnel in one query —
+    quality thresholds (CleanConfig defaults), keep-min exact dedup,
+    then the engine's exact minhash/LSH chain over the SURVIVORS (same
+    hash-then-cap order as _minhash_sql) with the larger id of every
+    candidate pair dropped."""
+    hash_exprs = ", ".join(
+        f"min(({a} * (((sid + 1) * 2654435761) % {_MH_P}) + {b}) % {_MH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MH_COEF)
+    )
+    band_conds = " OR ".join(
+        f"(a.h{2*b} = b.h{2*b} AND a.h{2*b+1} = b.h{2*b+1})" for b in range(4)
+    )
+    sid = _SQL_ROLLHASH.format(col="shingle")
+    return rf"""
+      WITH q AS (
+        SELECT doc_id, text, lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+               (length(text) - len(string_split_regex(text, '\s+')) + 1) /
+                 greatest(len(string_split_regex(text, '\s+')), 1) AS atl,
+               len(list_distinct(string_split_regex(text, '\s+'))) /
+                 greatest(len(string_split_regex(text, '\s+')), 1) AS dr,
+               len(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1) AS pr
+        FROM documents),
+      kept AS (
+        SELECT * FROM q
+        WHERE n_chars >= 50 AND n_tokens >= 10 AND atl <= 12.0
+          AND dr >= 0.2 AND pr <= 0.30),
+      surv AS (
+        SELECT k.* FROM kept k
+        JOIN (SELECT md5(text) AS dg, min(doc_id) AS keep_id
+              FROM kept GROUP BY 1) d
+          ON k.doc_id = d.keep_id),
+      shs AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(0, greatest(len(l) - 2, 0)),
+                                     i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM surv)),
+      ds0 AS (SELECT DISTINCT doc_id, {sid} AS sid FROM shs),
+      ds AS (
+        SELECT ds0.doc_id, ds0.sid FROM ds0
+        ANTI JOIN (
+          SELECT sid FROM ds0 GROUP BY sid
+          HAVING count(*) > 0.5 * (SELECT count(DISTINCT doc_id) FROM ds0)
+        ) stop USING (sid)),
+      mh AS (SELECT doc_id, {hash_exprs} FROM ds GROUP BY doc_id),
+      dropped AS (
+        SELECT DISTINCT b.doc_id AS doc_id
+        FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_conds})),
+      final AS (SELECT * FROM surv ANTI JOIN dropped USING (doc_id))
+      SELECT doc_id, lang, n_chars, n_tokens,
+             n_tokens AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+      FROM final
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -1076,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_freq": q_page_freq,
         "tokens_min_count": q_tokens_min_count,
         "min_count_window": q_min_count_window,
+        "training_pipeline": q_training_pipeline,
         "term_doc_freqs": q_term_doc_freqs,
         "tokens_per_page": q_tokens_per_page,
         "term_page_pivot": q_term_page_pivot,
@@ -1319,6 +1398,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, token, CAST(count(*) AS BIGINT) AS total
           FROM ({_SQL_TOKENS}) GROUP BY 1, 2 HAVING count(*) >= 5
         """,
+        "training_pipeline": _pipeline_sql(),
         "term_doc_freqs": f"""
           SELECT token, count(DISTINCT doc_id) AS n_docs
           FROM ({_SQL_TOKENS}) GROUP BY 1

@@ -23,8 +23,18 @@ from .dedup import (  # noqa: F401
     word_shingles,
 )
 from .similarity import cosine_topk, lsh_cosine_topk, near_dup_pairs  # noqa: F401
+from .pipeline import (  # noqa: F401
+    CleanConfig,
+    clean_corpus,
+    survivorship,
+)
 from .text import lang_id, quality_features  # noqa: F401
 from .vocab import remove_stopwords, restrict_to_vocab  # noqa: F401
 from .embeddings import weighted_embedding_average  # noqa: F401
 from .layout import layout_timeline, write_timeline  # noqa: F401
+from .pipeline import (  # noqa: F401
+    CleanConfig,
+    clean_corpus,
+    survivorship,
+)
 from .text import tf_idf  # noqa: F401

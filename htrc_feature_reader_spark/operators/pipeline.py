@@ -1,0 +1,123 @@
+"""Training-corpus cleaning pipeline: the composition a 100 TB user runs.
+
+``clean_corpus`` chains the engine's training-data operators into the
+standard pre-training data flow — quality filter (Gopher/C4-style
+thresholds over ``quality_features``), language filter, exact dedup
+(keep min-id per content digest), optional MinHash-LSH near-dup removal,
+token counting — as ONE lazy DataFrame plan plus a survivorship report.
+
+Scale shape:
+- quality/language/token-count are pure Catalyst projections (no shuffle);
+- exact dedup is one map-side-digest + groupBy (one shuffle), rejoined as
+  a broadcast-free semi join on (digest is unique -> join on id);
+- near-dup removal reuses the bucketed LSH pair miner (stop-shingle
+  capped, never corpus²) and drops the LARGER id of each candidate pair —
+  the same keep-min rule as exact dedup, so the result is deterministic
+  regardless of partitioning;
+- the final write goes through ``plans.write_partitioned`` /
+  ``resume_write`` when the caller wants lineage + resumability.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    remove_stop_shingles,
+    word_shingle_ids,
+)
+from .text import bpe_ish_token_count, lang_id, quality_features, whitespace_token_count
+
+
+@dataclass
+class CleanConfig:
+    """Thresholds for :func:`clean_corpus` (C4/Gopher-flavored defaults)."""
+
+    min_chars: int = 50
+    min_tokens: int = 10
+    max_avg_token_len: float = 12.0
+    min_distinct_ratio: float = 0.2
+    max_punct_ratio: float = 0.30
+    keep_langs: list[str] | None = None  # None = trust stored lang / keep all
+    use_stored_lang: bool = True  # use a 'lang' column when present
+    near_dup: bool = True
+    minhash_hashes: int = 8
+    lsh_bands: int = 4
+    lsh_rows: int = 2
+    shingle_n: int = 3
+    stop_shingle_frac: float = 0.5
+    extra_filters: list = field(default_factory=list)  # extra Column predicates
+
+
+def clean_corpus(
+    docs: DataFrame,
+    config: CleanConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Clean ``docs`` for training: returns surviving rows with quality
+    columns, ``lang`` (detected or stored), and whitespace/BPE-ish token
+    counts attached. Fully lazy — one plan, no driver actions.
+    """
+    cfg = config or CleanConfig()
+    q = quality_features(docs, text_col)
+    keep = (
+        (F.col("n_chars") >= cfg.min_chars)
+        & (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("avg_token_len") <= cfg.max_avg_token_len)
+        & (F.col("distinct_ratio") >= cfg.min_distinct_ratio)
+        & (F.col("punct_ratio") <= cfg.max_punct_ratio)
+    )
+    for extra in cfg.extra_filters:
+        keep = keep & extra
+    q = q.filter(keep)
+
+    if cfg.use_stored_lang and "lang" in q.columns:
+        q = q.withColumn("lang", F.col("lang"))
+    else:
+        q = q.withColumn("lang", lang_id(F.col(text_col)))
+    if cfg.keep_langs is not None:
+        q = q.filter(F.col("lang").isin(cfg.keep_langs))
+
+    # exact dedup: survivors are the min-id row per content digest
+    keepers = exact_duplicates(q, text_col=text_col, id_col=id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    q = q.join(keepers, on=id_col, how="left_semi")
+
+    if cfg.near_dup:
+        sh = word_shingle_ids(q, text_col, id_col, n=cfg.shingle_n)
+        sh = remove_stop_shingles(
+            sh, max_df_frac=cfg.stop_shingle_frac, shingle_col="shingle_id",
+            assume_distinct=True,
+        )
+        sigs = minhash_signatures(sh, n_hashes=cfg.minhash_hashes)
+        pairs = lsh_candidate_pairs(
+            sigs, n_bands=cfg.lsh_bands, rows_per_band=cfg.lsh_rows
+        )
+        # keep-min rule: the larger id of every candidate pair goes. id_b
+        # is the larger by construction (id_a < id_b), so dropping the
+        # distinct id_b set is deterministic under any partitioning.
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        q = q.join(drop, on=id_col, how="left_anti")
+
+    return q.withColumn(
+        "ws_tokens", whitespace_token_count(F.col(text_col))
+    ).withColumn("bpe_tokens", bpe_ish_token_count(F.col(text_col)))
+
+
+def survivorship(docs: DataFrame, cleaned: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """One-row funnel report: input rows, surviving rows, drop rate."""
+    n_in = docs.select(F.count(F.lit(1)).alias("n_in"))
+    n_out = cleaned.select(F.count(F.lit(1)).alias("n_out"))
+    return n_in.crossJoin(n_out).select(
+        "n_in", "n_out",
+        F.round(1.0 - F.col("n_out") / F.col("n_in"), 6).alias("drop_rate"),
+    )
