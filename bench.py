@@ -66,6 +66,7 @@ HEADLINE = [
     "embedding_near_dup",
     "chunked_tokenlist",
     "tf_idf",
+    "training_pipeline",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_ROWS", "2400000"))
