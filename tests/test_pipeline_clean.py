@@ -64,3 +64,15 @@ def test_clean_corpus_no_near_dup_keeps_variant(spark):
     out = clean_corpus(docs, CleanConfig(keep_langs=["eng"], near_dup=False))
     ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert ids == [1, 3, 7]  # near-dup 3 survives without LSH stage
+
+
+def test_clean_corpus_plan_no_cartesian_no_rowpython(spark):
+    """The funnel must stay bucketed (no corpus^2) and JVM-side."""
+    docs = _docs(spark)
+    df = clean_corpus(docs, CleanConfig())
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan  # fully Catalyst, in fact
