@@ -359,6 +359,32 @@ def q_asof_purchase_view(spark, sf_dir):
     return asof_join(probe, build, on="user_id", ts="ts")
 
 
+def q_asof_merge_strategy(spark, sf_dir):
+    """Same semantics as asof_purchase_view through the OTHER physical
+    strategy: per-key applyInPandas merge_asof (operators/asof.py
+    strategy='merge') — both strategies must agree cell-exact with the
+    one DuckDB ASOF oracle."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    build = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return asof_join(probe, build, on="user_id", ts="ts", strategy="merge")
+
+
+def q_asof_salted(spark, sf_dir):
+    """Same semantics again under skew salting (salt=8 replicates the
+    build timeline across salt buckets — never splits it, so results are
+    identical to unsalted by construction; this query proves it under the
+    driver's hash)."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    build = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return asof_join(probe, build, on="user_id", ts="ts", salt=8)
+
+
 def q_asof_forward(spark, sf_dir):
     """Forward as-of: next 'click' value at or after each 'signup'."""
     ev = _t(spark, sf_dir, "events")
@@ -1164,6 +1190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": q_nation_revenue,
         "top_parts_per_brand": q_top_parts_per_brand,
         "asof_purchase_view": q_asof_purchase_view,
+        "asof_merge_strategy": q_asof_merge_strategy,
+        "asof_salted": q_asof_salted,
         "asof_forward": q_asof_forward,
         "sessionize": q_sessionize,
         "lag_delta": q_lag_delta,
@@ -1467,6 +1495,20 @@ def oracle_sql() -> dict[str, str]:
           WHERE rnk <= 3
         """,
         "asof_purchase_view": """
+          SELECT p.event_id, p.user_id, p.ts, v.view_value
+          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+          ASOF LEFT JOIN
+               (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "asof_merge_strategy": """
+          SELECT p.event_id, p.user_id, p.ts, v.view_value
+          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+          ASOF LEFT JOIN
+               (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "asof_salted": """
           SELECT p.event_id, p.user_id, p.ts, v.view_value
           FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
           ASOF LEFT JOIN
