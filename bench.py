@@ -75,7 +75,10 @@ SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "1"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
 _default_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 SCALE_TMP = os.environ.get("SPARK_GRAFT_SCALE_TMP", _default_tmp)
-SCALE_RUNS_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_LOW", "2"))
+# 3 low samples in ONE warm JVM: the marginal run (~100-140 s) is far
+# cheaper than a top-up (fresh warmup), and a single slow-phase hit
+# then cannot define the min
+SCALE_RUNS_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_LOW", "3"))
 # the high side is ~3.5x cheaper per sample and its min converges slower
 # under interference (shorter runs, proportionally bigger spikes) — buy it
 # more samples
@@ -85,7 +88,7 @@ SCALE_RUNS_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_HIGH", "7"))
 # interference phases; unbounded repeats can blow the bench timeout).
 # At least two measured runs always complete so a single interference hit
 # can't define the min.
-SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "320"))
+SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "430"))
 # if efficiency lands OUTSIDE this band after the first pass, top up with
 # extra measured runs: under ~0.84 the high side may not have converged;
 # over ~1.10 (superlinear) the LOW side almost certainly sampled one of the
@@ -96,7 +99,7 @@ SCALE_RETRY_EFF_HI = float(os.environ.get("SPARK_GRAFT_SCALE_RETRY_EFF_HI", "1.1
 # scaling budget: the host's slow phases last minutes, so the high side
 # needs headroom to wait one out (its samples cost ~30-60 s + one ~90-120 s
 # fresh-JVM warmup per top-up batch; the low side costs ~100 s + ~300 s)
-SCALE_TOTAL_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_TOTAL_S", "1500"))
+SCALE_TOTAL_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_TOTAL_S", "1800"))
 
 
 def _run_to_noop(df) -> None:
