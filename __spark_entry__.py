@@ -102,6 +102,16 @@ _SH_BITS = 16
 _SH_A = 2 * ((_MH_SEED * 2_654_435_761) % (1 << 30)) + 1
 _SH_B = _MH_SEED * 97 + 13
 
+# one oracle for all three as-of physical variants (union-window, merge
+# strategy, salted) — they must agree cell-for-cell by construction
+_ASOF_PURCHASE_SQL = """
+  SELECT p.event_id, p.user_id, p.ts, v.view_value
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+  ASOF LEFT JOIN
+       (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
 _SQL_SHINGLES = """
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(0, greatest(len(l) - 2, 0)),
@@ -1494,27 +1504,9 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2))
           WHERE rnk <= 3
         """,
-        "asof_purchase_view": """
-          SELECT p.event_id, p.user_id, p.ts, v.view_value
-          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-          ASOF LEFT JOIN
-               (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
-          ON p.user_id = v.user_id AND p.ts >= v.ts
-        """,
-        "asof_merge_strategy": """
-          SELECT p.event_id, p.user_id, p.ts, v.view_value
-          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-          ASOF LEFT JOIN
-               (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
-          ON p.user_id = v.user_id AND p.ts >= v.ts
-        """,
-        "asof_salted": """
-          SELECT p.event_id, p.user_id, p.ts, v.view_value
-          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-          ASOF LEFT JOIN
-               (SELECT user_id, ts, value AS view_value FROM events WHERE event_type = 'view') v
-          ON p.user_id = v.user_id AND p.ts >= v.ts
-        """,
+        "asof_purchase_view": _ASOF_PURCHASE_SQL,
+        "asof_merge_strategy": _ASOF_PURCHASE_SQL,
+        "asof_salted": _ASOF_PURCHASE_SQL,
         "asof_forward": """
           SELECT p.event_id, p.user_id, p.ts, c.click_value
           FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') p

@@ -32,9 +32,4 @@ from .text import lang_id, quality_features  # noqa: F401
 from .vocab import remove_stopwords, restrict_to_vocab  # noqa: F401
 from .embeddings import weighted_embedding_average  # noqa: F401
 from .layout import layout_timeline, write_timeline  # noqa: F401
-from .pipeline import (  # noqa: F401
-    CleanConfig,
-    clean_corpus,
-    survivorship,
-)
 from .text import tf_idf  # noqa: F401

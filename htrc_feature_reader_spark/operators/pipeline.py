@@ -32,7 +32,7 @@ from .dedup import (
     remove_stop_shingles,
     word_shingle_ids,
 )
-from .text import bpe_ish_token_count, lang_id, quality_features, whitespace_token_count
+from .text import bpe_ish_token_count, lang_id, quality_features
 
 
 @dataclass
@@ -78,9 +78,7 @@ def clean_corpus(
         keep = keep & extra
     q = q.filter(keep)
 
-    if cfg.use_stored_lang and "lang" in q.columns:
-        q = q.withColumn("lang", F.col("lang"))
-    else:
+    if not (cfg.use_stored_lang and "lang" in q.columns):
         q = q.withColumn("lang", lang_id(F.col(text_col)))
     if cfg.keep_langs is not None:
         q = q.filter(F.col("lang").isin(cfg.keep_langs))
@@ -107,9 +105,11 @@ def clean_corpus(
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         q = q.join(drop, on=id_col, how="left_anti")
 
-    return q.withColumn(
-        "ws_tokens", whitespace_token_count(F.col(text_col))
-    ).withColumn("bpe_tokens", bpe_ish_token_count(F.col(text_col)))
+    # ws_tokens == quality's n_tokens (same split expression) — alias it
+    # rather than re-evaluating the regex split over every row
+    return q.withColumn("ws_tokens", F.col("n_tokens")).withColumn(
+        "bpe_tokens", bpe_ish_token_count(F.col(text_col))
+    )
 
 
 def survivorship(docs: DataFrame, cleaned: DataFrame,
@@ -119,5 +119,8 @@ def survivorship(docs: DataFrame, cleaned: DataFrame,
     n_out = cleaned.select(F.count(F.lit(1)).alias("n_out"))
     return n_in.crossJoin(n_out).select(
         "n_in", "n_out",
-        F.round(1.0 - F.col("n_out") / F.col("n_in"), 6).alias("drop_rate"),
+        # empty-input guard: ANSI mode makes 0/0 a runtime error
+        F.when(F.col("n_in") == 0, F.lit(0.0)).otherwise(
+            F.round(1.0 - F.col("n_out") / F.col("n_in"), 6)
+        ).alias("drop_rate"),
     )

@@ -106,10 +106,7 @@ def fold_tokenlist(
     if page_select is not None and not pages:
         raise ValueError("page_select requires pages=True")
     if "section" not in cols:
-        if section in SECREF:
-            raise MissingFieldError(
-                "section not saved in this table; cannot slice to %r" % section
-            )
+        # explicit SECREF slices already raised inside _resolve_section
         section = "ignore"
     elif section not in SECREF + ("all", "group"):
         raise ValueError("invalid section argument: %r" % section)

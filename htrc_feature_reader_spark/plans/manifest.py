@@ -146,9 +146,15 @@ def _diff_output(spark: SparkSession, path: str) -> dict[str, str] | None:
     try:
         stored = spark.read.parquet(path)
     except Exception:
-        # total data loss (only _manifest.json left): every manifest
-        # partition is missing — exactly what repair_write must rebuild
-        return {p: "missing" for p in manifest["partitions"]}
+        # Only treat a read failure as total data loss when the partition
+        # dirs are actually GONE (just _manifest.json left) — that's the
+        # case repair_write must rebuild. Any other failure (permissions,
+        # transient FS error, corrupt footer with data present) must
+        # surface, not masquerade as every-partition-missing and trigger
+        # a full rewrite.
+        if not any(e.startswith(f"{pcol}=") for e in os.listdir(path)):
+            return {p: "missing" for p in manifest["partitions"]}
+        raise
     # partition column comes back from the directory layout; normalize order
     cols = [c for c in stored.columns if c != pcol] + [pcol]
     recomputed = {

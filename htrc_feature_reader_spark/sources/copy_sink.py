@@ -75,11 +75,14 @@ def copy_volumes(
     path) never decodes the payload — source bytes land verbatim.
     ``compression in {'bz2', 'gz', None}`` transcodes file-by-file.
     The returned DataFrame is the copy's lineage record; the copy runs
-    when it is materialized (lazy like every other plan — ``.collect()``
-    or write it somewhere to execute).
+    when it is materialized (``.collect()`` or write it somewhere). One
+    metadata-only listing aggregate DOES run eagerly at call time to
+    detect destination-name collisions globally — files added to the
+    source after this call are not covered; call again for them.
 
     Destination files keep the source basename (with the codec extension
-    swapped on transcode), mirroring the reference's resolver naming.
+    swapped on transcode), mirroring the reference's resolver naming;
+    colliding destination names get a stable path-hash prefix.
     Requires ``dest_dir`` to be a task-writable shared filesystem — true
     for local mode and for clusters mounting a shared store.
     """
@@ -88,16 +91,25 @@ def copy_volumes(
     os.makedirs(dest_dir, exist_ok=True)
     files = spark.read.format("binaryFile").load(src_glob)
 
-    # same-basename sources (a glob spanning nested pairtree dirs) would
-    # silently last-writer-win in a flat dest_dir: detect duplicates with
-    # one metadata-only aggregate (content column pruned away) and
-    # disambiguate those — and only those — with a stable 8-hex prefix of
-    # the full source path
+    # Sources mapping to the same DESTINATION name (same basename from
+    # different dirs, or distinct basenames converging after the codec-
+    # extension swap on transcode, e.g. vol.json + vol.json.gz -> gz)
+    # would silently last-writer-win in a flat dest_dir: detect collisions
+    # on the computed dest name with one metadata-only aggregate (content
+    # column pruned away) and disambiguate those — and only those — with a
+    # stable 8-hex prefix of the full source path. This listing aggregate
+    # runs eagerly at call time (the dupe set must be global); the COPY
+    # itself runs when the returned DataFrame is materialized.
+    base = F.element_at(F.split("path", "/"), -1)
+    if compression == "same":
+        dest_name = base
+    else:
+        root = F.regexp_replace(base, r"\.(bz2|gz)$", "")
+        dest_name = F.concat(root, F.lit(_CODEC_EXT[compression]))
     dupe_bases = {
         r["b"]
-        for r in files.select(
-            F.element_at(F.split("path", "/"), -1).alias("b")
-        ).groupBy("b").count().filter(F.col("count") > 1).collect()
+        for r in files.select(dest_name.alias("b"))
+        .groupBy("b").count().filter(F.col("count") > 1).collect()
     }
 
     def copy_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,19 +123,26 @@ def copy_volumes(
                 src_codec = _codec_of(local)
                 dst_codec = src_codec if compression == "same" else compression
                 base = os.path.basename(local)
-                if base in dupe_bases:
+                # final dest name FIRST (mirrors the dest_name expression
+                # the dupe aggregate used), THEN collision disambiguation
+                if compression == "same":
+                    final_base = base
+                else:
+                    import re
+
+                    final_base = (re.sub(r"\.(bz2|gz)$", "", base)
+                                  + _CODEC_EXT[compression])
+                if final_base in dupe_bases:
                     import hashlib
 
                     h8 = hashlib.sha1(local.encode()).hexdigest()[:8]
-                    base = f"{h8}.{base}"
+                    final_base = f"{h8}.{final_base}"
                 skip = dst_codec == src_codec
                 if skip:
                     payload = bytes(content)
                 else:
                     payload = _encode(_decode(bytes(content), src_codec), dst_codec)
-                    root = base[: -len(_CODEC_EXT[src_codec])] if src_codec else base
-                    base = root + _CODEC_EXT[dst_codec]
-                dest = os.path.join(dest_dir, base)
+                dest = os.path.join(dest_dir, final_base)
                 tmp = dest + f".__tmp_{os.getpid()}"
                 with open(tmp, "wb") as f:
                     f.write(payload)

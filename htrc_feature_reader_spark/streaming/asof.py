@@ -104,7 +104,16 @@ def stream_asof_join(
         else:
             last_ts, last_vals = None, [None] * n_vals
             prev_ts, prev_vals = None, [None] * n_vals
-        for pdf in batches:
+        # ONE sort over the whole micro-batch: `batches` yields Arrow
+        # chunks (arrow.maxRecordsPerBatch rows each) and a chunk-local
+        # sort would mis-order rows straddling chunk boundaries — the
+        # late-row guard below would then drop same-batch builds and
+        # serve probes a future value. One group's micro-batch rows are
+        # already colocated in this worker, so the concat is bounded by
+        # per-key micro-batch volume, not state.
+        chunks = list(batches)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["__ts", "__side"], kind="mergesort")
             sides = pdf["__side"].to_list()
             tss = pdf["__ts"].to_list()

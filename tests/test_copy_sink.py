@@ -70,3 +70,24 @@ def test_duplicate_basenames_disambiguated(spark, tmp_path):
     for r in rows:
         with open(r["src"], "rb") as fs, open(r["dest"], "rb") as fd:
             assert fs.read() == fd.read()
+
+
+def test_transcode_dest_collision_disambiguated(spark, tmp_path):
+    """vol.json + vol.json.gz transcoded to gz both map to vol.json.gz —
+    the collision check runs on DEST names, not source basenames."""
+    import gzip
+
+    src = tmp_path / "src"
+    (src / "a").mkdir(parents=True)
+    (src / "b").mkdir()
+    (src / "a" / "vol.json").write_bytes(b'{"htid": "plain"}')
+    (src / "b" / "vol.json.gz").write_bytes(gzip.compress(b'{"htid": "gz"}'))
+    dest = str(tmp_path / "dst")
+    rows = copy_volumes(spark, f"{src}/*/vol.json*", dest, compression="gz").collect()
+    assert len(rows) == 2
+    assert len({r["dest"] for r in rows}) == 2
+    contents = set()
+    for r in rows:
+        with open(r["dest"], "rb") as f:
+            contents.add(gzip.decompress(f.read()))
+    assert contents == {b'{"htid": "plain"}', b'{"htid": "gz"}'}
