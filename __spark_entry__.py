@@ -835,6 +835,29 @@ def q_quad_roundtrip(spark, sf_dir):
     )
 
 
+def q_quad_prefold_roundtrip(spark, sf_dir):
+    """S8's fold-before-save path (reference 'partialparq' shape,
+    parsers.py:505-506): write_quad(token_kwargs=...) pre-folds case and
+    pages away; the re-read partial table hash-matches the oracle's
+    direct lowercase fold."""
+    from htrc_feature_reader_spark.sources.parquet_quad import read_quad, write_quad
+
+    tl = (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("doc_id", "page", "token")
+        .agg(F.sum("count").alias("count"))
+        .withColumnRenamed("doc_id", "htid")
+    )
+    path = _rt_path(sf_dir, "quad_prefold")
+    write_quad(path, tokenlist=tl,
+               token_kwargs=dict(case=False, pos=False, pages=False,
+                                 doc_col="htid"))
+    back = read_quad(spark, path)
+    return back.select(
+        F.col("htid").alias("doc_id"), "lowercase", "count"
+    )
+
+
 def q_ef_json_roundtrip(spark, sf_dir):
     """S1/S2/S9 composed: documents-derived tokenlist -> nested EF v3.0
     NDJSON (sources/ef_json_sink.py) -> re-ingest with the explicit schema
@@ -1229,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "section_group": q_section_group,
         "multimodal_meta": q_multimodal_meta,
         "quad_roundtrip": q_quad_roundtrip,
+        "quad_prefold_roundtrip": q_quad_prefold_roundtrip,
         "ef_json_roundtrip": q_ef_json_roundtrip,
         "metadata_roundtrip": q_metadata_roundtrip,
         "section_features_roundtrip": q_section_features_roundtrip,
@@ -1726,6 +1750,10 @@ def oracle_sql() -> dict[str, str]:
         "quad_roundtrip": f"""
           SELECT doc_id, page, token, CAST(count(*) AS BIGINT) AS count
           FROM ({_SQL_TOKENS}) GROUP BY 1, 2, 3
+        """,
+        "quad_prefold_roundtrip": f"""
+          SELECT doc_id, lower(token) AS lowercase, CAST(count(*) AS BIGINT) AS count
+          FROM ({_SQL_TOKENS}) GROUP BY 1, 2
         """,
         "ef_json_roundtrip": f"""
           SELECT doc_id, page, token, CAST(count(*) AS BIGINT) AS count
