@@ -1,7 +1,8 @@
 """Structured Streaming faces of the batch temporal operators."""
 
 from .asof import stream_asof_join
-from .sessionize import stream_session_counts
+from .sessionize import stream_session_counts, stream_windowed_rollup
 from .stateful import stream_forward_fill
 
-__all__ = ["stream_asof_join", "stream_forward_fill", "stream_session_counts"]
+__all__ = ["stream_asof_join", "stream_forward_fill", "stream_session_counts",
+           "stream_windowed_rollup"]

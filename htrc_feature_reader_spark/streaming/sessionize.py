@@ -56,3 +56,40 @@ def run_stream_to_memory(sdf: DataFrame, name: str = "sessions") -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def stream_windowed_rollup(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    key: str = "user_id",
+    ts: str = "ts",
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    value: str | None = None,
+) -> DataFrame:
+    """Streaming tumbling-window rollup (streaming face of the batch
+    daily_rollup): per-(key, window) event counts and optional value sum.
+
+    With append output mode a window only emits once the watermark passes
+    its end — and events arriving LATER than the watermark are dropped,
+    never retro-mutating an emitted window. That trade (bounded state +
+    immutable emitted results vs. losing very-late data) is the streaming
+    contract; the batch operator over the same files is the exact oracle
+    for everything inside the watermark.
+    """
+    events = spark.readStream.schema(schema).parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value is not None:
+        aggs.append(F.sum(value).alias("total_value"))
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.col(key), F.window(F.col(ts), window))
+        .agg(*aggs)
+        .select(
+            key,
+            F.col("window.start").alias("win_start"),
+            "n_events",
+            *(["total_value"] if value is not None else []),
+        )
+    )
