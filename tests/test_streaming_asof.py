@@ -234,3 +234,48 @@ def test_stream_asof_late_build_row_does_not_regress_state(spark, tmp_path):
     finally:
         q.stop()
     assert got[("a", _mins(120))] == 5.0
+
+
+def test_stream_asof_state_survives_checkpoint_restart(spark, tmp_path):
+    """Kill the query after the build micro-batch; a NEW query on the
+    same checkpoint must serve later probes from RESTORED state (the
+    durability contract a memory sink cannot show — this uses a parquet
+    sink + checkpointLocation)."""
+    bpath, ppath = str(tmp_path / "build"), str(tmp_path / "probe")
+    ckpt, sink = str(tmp_path / "ckpt"), str(tmp_path / "sink")
+    spark.createDataFrame(
+        [("a", _mins(0), 7.0)], "key string, ts timestamp, price double"
+    ).coalesce(1).write.parquet(bpath)
+    spark.createDataFrame(
+        [("a", _mins(1), 1)], "key string, ts timestamp, qty long"
+    ).coalesce(1).write.parquet(ppath)
+
+    def start_query():
+        bs = spark.readStream.schema(
+            "key string, ts timestamp, price double").parquet(bpath)
+        ps = spark.readStream.schema(
+            "key string, ts timestamp, qty long").parquet(ppath)
+        out = stream_asof_join(ps, bs, on="key", ts="ts")
+        return (out.writeStream.outputMode("append").format("parquet")
+                .option("path", sink).option("checkpointLocation", ckpt)
+                .start())
+
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+
+    # new data arrives while no query is running; the probe's answer can
+    # only come from state restored off the checkpoint
+    spark.createDataFrame(
+        [("a", _mins(2), 2)], "key string, ts timestamp, qty long"
+    ).coalesce(1).write.mode("append").parquet(ppath)
+
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+
+    got = {
+        (r["key"], r["ts"]): r["price"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {("a", _mins(1)): 7.0, ("a", _mins(2)): 7.0}
