@@ -111,3 +111,55 @@ def frame_sample_plan(
             )
         ).alias("frame_ms"),
     )
+
+
+def fake_resizer(payload: bytes, height: int, width: int) -> bytes:
+    """Deterministic stand-in for an image resize: returns a byte string
+    derived from (payload, h, w) with length h*w (mod 4096). Lets tests
+    exercise batch shapes and schema without image libs."""
+    if payload is None:
+        return b""
+    n = max(1, (height * width) % 4096)
+    seed = sum(payload[:16]) + height * 31 + width
+    return bytes((seed + i) % 256 for i in range(n))
+
+
+def resize_images(
+    df: DataFrame,
+    height: int,
+    width: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize opaque image payloads via mapInPandas (Arrow batches).
+
+    ``resizer(bytes, h, w) -> bytes`` does the pixel work. Without one
+    this raises NotImplementedError at executor time (stub — no image
+    codecs in this environment); pass ``fake_resizer`` in tests or a
+    PIL-backed callable in production. The Spark-side plumbing — schema,
+    partition-preserving map, per-batch Arrow transfer — is real and
+    identical to what a PIL resizer would ride on.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if resizer is None:
+                raise NotImplementedError(
+                    "no image codec available in this environment; pass a "
+                    "resizer callable (e.g. PIL-backed) or "
+                    "multimodal.fake_resizer for tests"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "resized": pdf[payload_col].map(
+                        lambda b: resizer(b, height, width)
+                    ),
+                    "height": height,
+                    "width": width,
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="media_id long, resized binary, height int, width int"
+    )

@@ -189,3 +189,32 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     frames = multimodal.frame_sample_plan(df, every_ms=1000).collect()
     assert [r["frame_ms"] for r in frames] == [0, 1000, 2000]
+
+
+def test_resize_images_plumbing(spark):
+    """Resize runs over real Arrow batches with the schema/shape a PIL
+    resizer would ride on; the pixel step is the injected callable."""
+    import pyspark.sql.functions as F
+
+    from htrc_feature_reader_spark.operators.multimodal import (
+        fake_resizer,
+        resize_images,
+    )
+
+    media = spark.range(6).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.concat(F.lit("img"), F.col("id").cast("string")), "utf-8").alias("payload"),
+    )
+    out = resize_images(media, 32, 16, resizer=fake_resizer).collect()
+    assert len(out) == 6
+    assert all(r["height"] == 32 and r["width"] == 16 for r in out)
+    expect = fake_resizer(b"img0", 32, 16)
+    got = next(r["resized"] for r in out if r["media_id"] == 0)
+    assert bytes(got) == expect
+    # stub contract: no resizer -> NotImplementedError at EXECUTOR time
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as ei:
+        resize_images(media, 8, 8).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
