@@ -112,6 +112,22 @@ _ASOF_PURCHASE_SQL = """
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
+# shared by ann_cosine_topk (brute) and ivf_topk (full-probe IVF == brute)
+_ANN_TOPK_SQL = """
+  WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
+  SELECT query_id, neighbor_id, round(cos, 4) AS cos4 FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(cos, 6) DESC, neighbor_id) AS rnk
+    FROM scored)
+  WHERE rnk <= 5
+"""
+
 _SQL_SHINGLES = """
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(0, greatest(len(l) - 2, 0)),
@@ -591,6 +607,31 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
     corpus = emb.select("vec_id", "embedding")
     scored = cosine_topk(queries, corpus, k=6)  # k=6 then drop self
+    out = scored.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cos", 6)), "vec_id")
+    return (
+        out.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos", 4).alias("cos4"))
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN (operators/ivf.py) with nprobe == n_centroids: probing
+    every bucket recovers EXACT brute-force top-k regardless of the
+    (float-order-dependent) centroid values, because each corpus vector
+    lives in exactly one bucket — so the approximate operator's plumbing
+    is value-checkable against the same brute-force oracle. Recall at
+    nprobe<k is covered by tests/test_ivf.py."""
+    from htrc_feature_reader_spark.operators.ivf import ivf_index, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(emb, n_centroids=8, n_iters=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    scored = ivf_topk(assigned, centroids, queries, k=6, nprobe=8)
     out = scored.filter(F.col("query_id") != F.col("vec_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cos", 6)), "vec_id")
     return (
@@ -1241,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_topk": q_ivf_topk,
         "quality": q_quality,
         "lang_distribution": q_lang_distribution,
         "tf_idf": q_tf_idf,
@@ -1663,20 +1705,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh": _minhash_sql(),
         "simhash": _simhash_sql(),
-        "ann_cosine_topk": """
-          WITH scored AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
-                     (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
-                      sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
-            FROM embeddings q, embeddings c
-            WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
-          SELECT query_id, neighbor_id, round(cos, 4) AS cos4 FROM (
-            SELECT *, row_number() OVER (PARTITION BY query_id
-                                         ORDER BY round(cos, 6) DESC, neighbor_id) AS rnk
-            FROM scored)
-          WHERE rnk <= 5
-        """,
+        "ann_cosine_topk": _ANN_TOPK_SQL,
+        "ivf_topk": _ANN_TOPK_SQL,
         "quality": r"""
           SELECT doc_id,
                  CAST(length(text) AS BIGINT) AS n_chars,
