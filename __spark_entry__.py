@@ -675,6 +675,34 @@ def q_tf_idf(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-level line dedup (operators/text.py:
+    remove_duplicate_lines): documents are given a deterministic line
+    structure (10-word lines), lines appearing in >= 3 distinct docs are
+    removed everywhere, docs reassembled in order. The oracle replays the
+    same line split + df threshold + ordered re-concat."""
+    from htrc_feature_reader_spark.operators.text import remove_duplicate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = remove_duplicate_lines(lined, min_df=3)
+    return out.select(
+        "doc_id", F.md5(F.col("text_deduped")).alias("dedup_md5"),
+        F.length("text_deduped").alias("n_chars"),
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", normalized_fingerprint("text").alias("fp"))
@@ -1287,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "tf_idf": q_tf_idf,
         "fingerprint": q_fingerprint,
+        "line_dedup": q_line_dedup,
         "bpe_token_count": q_bpe_token_count,
         "stopword_filter": q_stopword_filter,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1762,6 +1791,30 @@ def oracle_sql() -> dict[str, str]:
                  lang AS calc_lang,
                  lang || ':1.0' AS languages_csv
           FROM documents CROSS JOIN (VALUES (1), (2)) AS p(page)
+        """,
+        "line_dedup": """
+          WITH lined AS (
+            SELECT doc_id,
+                   array_to_string(
+                     list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+                                    i -> array_to_string(list_slice(w, i*10+1, i*10+10), ' ')),
+                     chr(10)) AS text
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+          lines AS (
+            SELECT doc_id,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1) AS pos
+            FROM lined),
+          boiler AS (
+            SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+            GROUP BY line HAVING count(*) >= 3),
+          kept AS (SELECT lines.* FROM lines ANTI JOIN boiler USING (line)),
+          rebuilt AS (
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_deduped
+            FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, md5(coalesce(r.text_deduped, '')) AS dedup_md5,
+                 CAST(length(coalesce(r.text_deduped, '')) AS BIGINT) AS n_chars
+          FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "fingerprint": r"""
           SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp

@@ -132,3 +132,48 @@ def rolling_hash(text, base: int = 257, mod: int = (1 << 31) - 1) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
     )
+
+
+def remove_duplicate_lines(
+    docs: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """C4-style corpus-level line dedup: drop every occurrence of any line
+    that appears in >= ``min_df`` DISTINCT documents (boilerplate headers,
+    cookie banners, navigation chrome), then reassemble each document in
+    original line order.
+
+    Shape at scale: posexplode lines -> distinct (doc, line) -> line-df agg
+    (map-side combinable) -> broadcast-friendly anti join of the SMALL
+    high-df line set back onto the exploded table -> per-doc ordered
+    re-concat via sort_array(collect_list(struct(pos, line))). Three
+    shuffles total, all on bounded keys; the duplicate-line dimension is
+    tiny by construction (only lines crossing the df threshold).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    dfreq = (
+        lines.select(id_col, "__line").distinct()
+        .groupBy("__line").agg(F.count(F.lit(1)).alias("__df"))
+    )
+    boiler = dfreq.filter(F.col("__df") >= min_df).select("__line")
+    kept = lines.join(F.broadcast(boiler), on="__line", how="left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.struct("__pos", "__line")))["__line"],
+                "\n",
+            ).alias(out_col)
+        )
+    )
+    # docs whose every line was boilerplate drop out of the groupBy —
+    # restore them as empty strings so the op is row-preserving
+    return docs.join(rebuilt, on=id_col, how="left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )

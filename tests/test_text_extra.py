@@ -40,3 +40,30 @@ def test_iceberg_fallback_reads_parquet(spark, sequences_df, tmp_path):
     assert sid.startswith("parquet-")
     # content fingerprint is stable and changes with the data
     assert sid == current_snapshot_id(spark, p)
+
+
+def test_remove_duplicate_lines(spark):
+    from htrc_feature_reader_spark.operators.text import remove_duplicate_lines
+
+    boiler = "ACCEPT COOKIES"
+    rows = [
+        (1, f"{boiler}\nunique one\nalso unique"),
+        (2, f"{boiler}\nsecond doc text"),
+        (3, f"{boiler}\nthird doc text\n{boiler}"),  # twice in one doc
+        (4, boiler),                                  # all-boilerplate doc
+        (5, "no chrome here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_deduped"]
+           for r in remove_duplicate_lines(docs, min_df=3).collect()}
+    assert out[1] == "unique one\nalso unique"
+    assert out[2] == "second doc text"
+    assert out[3] == "third doc text"      # BOTH occurrences removed
+    assert out[4] == ""                    # row-preserving, empty result
+    assert out[5] == "no chrome here"
+    # df counts DISTINCT docs: a line twice in one doc is df=1, kept
+    rows2 = [(1, "twice\ntwice"), (2, "x"), (3, "y")]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    out2 = {r["doc_id"]: r["text_deduped"]
+            for r in remove_duplicate_lines(docs2, min_df=2).collect()}
+    assert out2[1] == "twice\ntwice"
