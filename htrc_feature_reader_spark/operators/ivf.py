@@ -33,15 +33,18 @@ def _sq_dist(a, b):
 
 
 def _nearest_centroid(vec, centroids: list[tuple[int, list[float]]]):
-    """argmin over the broadcast codebook as a constant-folded expression
-    chain; k is small (codebook), so the CASE tree stays cheap."""
-    best_id, best_d = F.lit(centroids[0][0]), _sq_dist(vec, F.array(*[F.lit(x) for x in centroids[0][1]]))
-    for cid, c in centroids[1:]:
-        d = _sq_dist(vec, F.array(*[F.lit(x) for x in c]))
-        closer = d < best_d
-        best_id = F.when(closer, F.lit(cid)).otherwise(best_id)
-        best_d = F.when(closer, d).otherwise(best_d)
-    return best_id
+    """argmin over the literal codebook, LINEAR in k: one struct(d, id)
+    per centroid, array_sort, take the head. A when/otherwise chain would
+    reference the running best twice per step and double the Catalyst
+    tree per centroid (2^k nodes — unusable past k≈10)."""
+    entries = [
+        F.struct(
+            _sq_dist(vec, F.array(*[F.lit(x) for x in c])).alias("d"),
+            F.lit(cid).alias("b"),
+        )
+        for cid, c in centroids
+    ]
+    return F.array_sort(F.array(*entries))[0]["b"]
 
 
 def ivf_index(
@@ -104,8 +107,10 @@ def ivf_topk(
     corpus_vec: str = "embedding",
 ) -> DataFrame:
     """Top-k by cosine, probing only each query's ``nprobe`` nearest
-    buckets: broadcast the (tiny) probe map, join on bucket, exact cosine
-    inside the probed buckets, per-query window top-k."""
+    buckets: join the query probe rows to the assigned corpus on bucket
+    (the planner broadcasts when the query batch is small and falls back
+    to shuffle join for large serving batches — no forced hint), exact
+    cosine inside the probed buckets, per-query window top-k."""
     dists = [
         (cid, _sq_dist(F.col(query_vec), F.array(*[F.lit(x) for x in c])))
         for cid, c in centroids
@@ -120,7 +125,7 @@ def ivf_topk(
         F.explode(F.slice("__ranked", 1, nprobe)).alias("__p"),
     ).select(query_id, query_vec, F.col("__p.b").alias("__bucket"))
 
-    cand = F.broadcast(ranked).join(assigned, on="__bucket")
+    cand = ranked.join(assigned, on="__bucket")
     scored = cand.select(
         query_id,
         F.col(corpus_id),

@@ -119,7 +119,7 @@ def fake_resizer(payload: bytes, height: int, width: int) -> bytes:
     exercise batch shapes and schema without image libs."""
     if payload is None:
         return b""
-    n = max(1, (height * width) % 4096)
+    n = (height * width - 1) % 4096 + 1  # h*w mod-wrapped, never 0
     seed = sum(payload[:16]) + height * 31 + width
     return bytes((seed + i) % 256 for i in range(n))
 
@@ -160,6 +160,7 @@ def resize_images(
                 }
             )
 
+    id_t = df.schema["media_id"].dataType.simpleString()
     return df.mapInPandas(
-        run, schema="media_id long, resized binary, height int, width int"
+        run, schema=f"media_id {id_t}, resized binary, height int, width int"
     )

@@ -147,11 +147,12 @@ def remove_duplicate_lines(
     original line order.
 
     Shape at scale: posexplode lines -> distinct (doc, line) -> line-df agg
-    (map-side combinable) -> broadcast-friendly anti join of the SMALL
-    high-df line set back onto the exploded table -> per-doc ordered
-    re-concat via sort_array(collect_list(struct(pos, line))). Three
-    shuffles total, all on bounded keys; the duplicate-line dimension is
-    tiny by construction (only lines crossing the df threshold).
+    (map-side combinable) -> anti join of the high-df line set back onto
+    the exploded table -> per-doc ordered re-concat via
+    sort_array(collect_list(struct(pos, line))). No broadcast hint on the
+    anti join: min_df bounds which lines qualify, not how many — web-scale
+    corpora carry millions of boilerplate lines, so the planner (AQE)
+    picks broadcast vs sort-merge from actual size.
     """
     lines = docs.select(
         F.col(id_col),
@@ -162,7 +163,7 @@ def remove_duplicate_lines(
         .groupBy("__line").agg(F.count(F.lit(1)).alias("__df"))
     )
     boiler = dfreq.filter(F.col("__df") >= min_df).select("__line")
-    kept = lines.join(F.broadcast(boiler), on="__line", how="left_anti")
+    kept = lines.join(boiler, on="__line", how="left_anti")
     rebuilt = (
         kept.groupBy(id_col)
         .agg(

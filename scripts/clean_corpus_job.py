@@ -16,7 +16,7 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from htrc_feature_reader_spark.operators import CleanConfig, clean_corpus, survivorship
+from htrc_feature_reader_spark.operators import CleanConfig, clean_corpus
 from htrc_feature_reader_spark.plans import resume_write
 
 N_BUCKETS = 64
@@ -33,11 +33,14 @@ def main() -> None:
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(N_BUCKETS)).cast("string")
     )
     manifest = resume_write(out, out_dir, "bucket", snapshot_id=snapshot)
-    rep = survivorship(docs, cleaned).collect()[0]
+    # survivor count from the MANIFEST row counts (free — already computed
+    # during the write), never by re-executing the funnel plan
+    n_out = sum(p["row_count"] for p in manifest["partitions"].values())
+    n_in = docs.count()
     print(
         f"partitions complete: {len(manifest['partitions'])} (of {N_BUCKETS} "
-        f"hash buckets); survivors {rep['n_out']}/{rep['n_in']} "
-        f"(drop rate {rep['drop_rate']})"
+        f"hash buckets); survivors {n_out}/{n_in} "
+        f"(drop rate {round(1 - n_out / n_in, 6) if n_in else 0.0})"
     )
 
 

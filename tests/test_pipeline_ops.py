@@ -213,8 +213,14 @@ def test_resize_images_plumbing(spark):
     assert bytes(got) == expect
     # stub contract: no resizer -> NotImplementedError at EXECUTOR time
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
 
     with _pytest.raises(Exception) as ei:
         resize_images(media, 8, 8).collect()
-    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, Py4JJavaError)
+    assert "NotImplementedError" in str(ei.value)
+    # schema derives media_id's type from the input (MEDIA_SCHEMA uses string)
+    media_s = media.select(
+        F.concat(F.lit("m"), F.col("media_id").cast("string")).alias("media_id"),
+        "payload",
+    )
+    out_s = resize_images(media_s, 4, 4, resizer=fake_resizer).collect()
+    assert {r["media_id"] for r in out_s} == {f"m{i}" for i in range(6)}
