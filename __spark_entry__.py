@@ -599,6 +599,27 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash banded near-dup pair mining (dedup.simhash_candidate_pairs):
+    16-bit fingerprints sliced into 4 bands; candidates share a band;
+    hamming <= 3 pairs are found with EXACT recall (pigeonhole). Oracle
+    replays the identical integer band/hamming math over the same
+    fingerprints."""
+    from htrc_feature_reader_spark.operators.dedup import simhash_candidate_pairs
+    from htrc_feature_reader_spark.operators.text import rolling_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).groupBy("id", "token").agg(F.count(F.lit(1)).alias("weight"))
+    dt = toks.select("id", rolling_hash("token").alias("token_id"), "weight")
+    sigs = simhash(dt, bits=_SH_BITS, seed=_MH_SEED)
+    return simhash_candidate_pairs(sigs, bits=_SH_BITS, n_bands=4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors (vec_id < 5)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1309,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "quality": q_quality,
@@ -1734,6 +1756,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh": _minhash_sql(),
         "simhash": _simhash_sql(),
+        "simhash_pairs": f"""
+          WITH sh AS ({{SIMHASH}}),
+          banded AS (
+            SELECT doc_id, simhash, t.b,
+                   (simhash >> (t.b * 4)) & 15 AS slice
+            FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id)
+          SELECT c.doc_a, c.doc_b,
+                 CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+          WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+        """.replace("{SIMHASH}", _simhash_sql()),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ivf_topk": _ANN_TOPK_SQL,
         "quality": r"""

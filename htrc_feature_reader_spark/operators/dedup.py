@@ -351,3 +351,50 @@ def simhash(
 def hamming_distance(a, b):
     """Popcount of XOR — pair filter for SimHash near-dups."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(
+    sigs: DataFrame,
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int | None = None,
+    id_col: str = "id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """SimHash near-dup pair mining: bit-slice each fingerprint into
+    ``n_bands`` contiguous bands; candidate pairs share >= 1 identical
+    band (self-equi-join on (band, slice) — bucketed, never corpus^2);
+    survivors filtered to hamming distance <= ``max_hamming`` (default
+    n_bands - 1, the pigeonhole bound: any pair within that distance has
+    at least one untouched band, so recall is EXACT, not probabilistic).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col(sim_col).alias("__sh"),
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col(sim_col), b * width).bitwiseAND(F.lit(mask))
+                for b in range(n_bands)
+            ])
+        ).alias("__band", "__slice"),
+    )
+    a = banded.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"),
+                      "__band", "__slice")
+    b = banded.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"),
+                      "__band", "__slice")
+    return (
+        a.join(b, on=["__band", "__slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                hamming_distance(F.col("__sa"), F.col("__sb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -199,3 +199,33 @@ def test_remove_stop_shingles_assume_distinct_equivalent(spark):
     b = sorted(map(tuple, remove_stop_shingles(
         df, max_df=4, assume_distinct=True).collect()))
     assert a == b and len(a) == 8  # x, y (df=8) dropped; u<d> kept
+
+
+def test_simhash_candidate_pairs_exact_recall(spark):
+    """Pigeonhole: every pair within hamming <= n_bands-1 shares a band,
+    so recall vs the brute-force pair set is exact."""
+    from htrc_feature_reader_spark.operators.dedup import (
+        hamming_distance,
+        simhash_candidate_pairs,
+    )
+
+    sigs = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(
+            [0b1010101010101010, 0b1010101010101011,  # hamming 1
+             0b1010101010101110, 0b0101010101010101,  # h(0,2)=2... and far
+             0b1111000011110000]
+        )],
+        "id long, simhash long",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_candidate_pairs(sigs).collect()}
+    # brute force oracle
+    a = sigs.selectExpr("id as id_a", "simhash as sa")
+    brute = {
+        (r["id_a"], r["id_b"]): r["h"]
+        for r in a.crossJoin(sigs.selectExpr("id as id_b", "simhash as sb"))
+        .filter("id_a < id_b")
+        .selectExpr("id_a", "id_b", "bit_count(sa ^ sb) as h")
+        .filter("h <= 3").collect()
+    }
+    assert got == brute and len(brute) >= 2
