@@ -369,6 +369,13 @@ def simhash_candidate_pairs(
     at least one untouched band, so recall is EXACT, not probabilistic).
 
     Returns (id_a, id_b, hamming) with id_a < id_b.
+
+    SIZING AT SCALE: each band has 2^(bits/n_bands) buckets and the
+    candidate join emits ~N^2 / 2^(bits/n_bands) pairs per band — band
+    width must grow with log2(corpus) or the buckets go quadratic. Use
+    bits >= 48 (width >= 12-16) for million-doc corpora; ``simhash``
+    supports bits up to 62 in one int64 fingerprint. The 16-bit configs
+    in tests/driver queries are oracle-scale, not corpus-scale.
     """
     if bits % n_bands:
         raise ValueError("bits must divide evenly into n_bands")

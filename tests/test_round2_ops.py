@@ -229,3 +229,21 @@ def test_simhash_candidate_pairs_exact_recall(spark):
         .filter("h <= 3").collect()
     }
     assert got == brute and len(brute) >= 2
+
+
+def test_simhash_wide_fingerprint_pairs(spark):
+    """bits=48 (corpus-scale band width 12): a planted hamming-2 pair is
+    found; fingerprints differing in every band are never candidates."""
+    from htrc_feature_reader_spark.operators.dedup import simhash_candidate_pairs
+
+    base = 0x2E5F13A9C4D7  # arbitrary 48-bit fingerprint
+    sigs = spark.createDataFrame(
+        [(1, base),
+         (2, base ^ (1 << 3) ^ (1 << 40)),     # hamming 2 -> must pair
+         (3, base ^ 0xFFFFFFFFFFFF)],          # every 12-bit band differs
+        "id long, simhash long",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_candidate_pairs(sigs, bits=48, n_bands=4).collect()}
+    assert pairs.get((1, 2)) == 2
+    assert (1, 3) not in pairs and (2, 3) not in pairs
