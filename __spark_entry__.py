@@ -616,7 +616,8 @@ def q_simhash_pairs(spark, sf_dir):
     dt = toks.select("id", rolling_hash("token").alias("token_id"), "weight")
     sigs = simhash(dt, bits=_SH_BITS, seed=_MH_SEED)
     return simhash_candidate_pairs(sigs, bits=_SH_BITS, n_bands=4).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
     )
 
 
@@ -720,7 +721,7 @@ def q_line_dedup(spark, sf_dir):
     out = remove_duplicate_lines(lined, min_df=3)
     return out.select(
         "doc_id", F.md5(F.col("text_deduped")).alias("dedup_md5"),
-        F.length("text_deduped").alias("n_chars"),
+        F.length("text_deduped").cast("long").alias("n_chars"),
     )
 
 

@@ -57,6 +57,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
                 "(driver hash is dtype-sensitive; CAST the oracle side)"
             )
             continue
+        # int WIDTH drift (int32 vs int64) is just as hash-hostile: Spark
+        # bit_count/length/row_number return int32, DuckDB counts BIGINT
+        if s_int and o_int and sv.dtype != ov.dtype:
+            problems.append(
+                f"col {c}: int width drift spark={sv.dtype} oracle={ov.dtype} "
+                "(cast the Spark side to long)"
+            )
+            continue
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
             sv = sv.astype(float); ov = ov.astype(float)
             both_nan = np.isnan(sv) & np.isnan(ov)
