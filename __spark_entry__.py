@@ -99,6 +99,7 @@ _MH_COEF = [
     for i in range(_MH_N)
 ]
 _SH_BITS = 16
+_SH_PAIR_BANDS = 4
 _SH_A = 2 * ((_MH_SEED * 2_654_435_761) % (1 << 30)) + 1
 _SH_B = _MH_SEED * 97 + 13
 
@@ -583,9 +584,9 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
-def q_simhash(spark, sf_dir):
-    """SimHash(16) fingerprint per document (weighted by token count);
-    rolling-hash token ids — no vocabulary build."""
+def _simhash_sigs(spark, sf_dir):
+    """Shared fingerprint pipeline for q_simhash and q_simhash_pairs —
+    both must stay bit-identical for the one _simhash_sql oracle."""
     from htrc_feature_reader_spark.operators.text import rolling_hash
 
     docs = _t(spark, sf_dir, "documents")
@@ -594,7 +595,13 @@ def q_simhash(spark, sf_dir):
         F.explode(F.split("text", " ")).alias("token"),
     ).groupBy("id", "token").agg(F.count(F.lit(1)).alias("weight"))
     dt = toks.select("id", rolling_hash("token").alias("token_id"), "weight")
-    return simhash(dt, bits=_SH_BITS, seed=_MH_SEED).select(
+    return simhash(dt, bits=_SH_BITS, seed=_MH_SEED)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash(16) fingerprint per document (weighted by token count);
+    rolling-hash token ids — no vocabulary build."""
+    return _simhash_sigs(spark, sf_dir).select(
         F.col("id").alias("doc_id"), "simhash"
     )
 
@@ -606,16 +613,11 @@ def q_simhash_pairs(spark, sf_dir):
     replays the identical integer band/hamming math over the same
     fingerprints."""
     from htrc_feature_reader_spark.operators.dedup import simhash_candidate_pairs
-    from htrc_feature_reader_spark.operators.text import rolling_hash
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(F.split("text", " ")).alias("token"),
-    ).groupBy("id", "token").agg(F.count(F.lit(1)).alias("weight"))
-    dt = toks.select("id", rolling_hash("token").alias("token_id"), "weight")
-    sigs = simhash(dt, bits=_SH_BITS, seed=_MH_SEED)
-    return simhash_candidate_pairs(sigs, bits=_SH_BITS, n_bands=4).select(
+    sigs = _simhash_sigs(spark, sf_dir)
+    return simhash_candidate_pairs(
+        sigs, bits=_SH_BITS, n_bands=_SH_PAIR_BANDS
+    ).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"),
         F.col("hamming").cast("long").alias("hamming"),
     )
@@ -1757,12 +1759,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh": _minhash_sql(),
         "simhash": _simhash_sql(),
+        # band constants derived from _SH_BITS exactly like the Spark side
+        # (simhash_candidate_pairs(bits=_SH_BITS, n_bands=_SH_PAIR_BANDS))
         "simhash_pairs": f"""
           WITH sh AS ({{SIMHASH}}),
           banded AS (
             SELECT doc_id, simhash, t.b,
-                   (simhash >> (t.b * 4)) & 15 AS slice
-            FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(b)),
+                   (simhash >> (t.b * {_SH_BITS // _SH_PAIR_BANDS}))
+                     & {(1 << (_SH_BITS // _SH_PAIR_BANDS)) - 1} AS slice
+            FROM sh CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(_SH_PAIR_BANDS))}) AS t(b)),
           cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM banded a JOIN banded b
@@ -1772,7 +1777,7 @@ def oracle_sql() -> dict[str, str]:
           FROM cand c
           JOIN sh sa ON sa.doc_id = c.doc_a
           JOIN sh sb ON sb.doc_id = c.doc_b
-          WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+          WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SH_PAIR_BANDS - 1}
         """.replace("{SIMHASH}", _simhash_sql()),
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ivf_topk": _ANN_TOPK_SQL,

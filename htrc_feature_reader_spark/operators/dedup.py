@@ -378,9 +378,15 @@ def simhash_candidate_pairs(
     in tests/driver queries are oracle-scale, not corpus-scale.
     """
     if bits % n_bands:
-        raise ValueError("bits must divide evenly into n_bands")
+        raise ValueError("n_bands must divide bits evenly")
     if max_hamming is None:
         max_hamming = n_bands - 1
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole bound "
+            f"n_bands-1={n_bands - 1}: recall would silently become "
+            "probabilistic — raise n_bands (or bits) instead"
+        )
     width = bits // n_bands
     mask = (1 << width) - 1
     banded = sigs.select(
@@ -402,6 +408,6 @@ def simhash_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b",
                 hamming_distance(F.col("__sa"), F.col("__sb")).alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("hamming") <= max_hamming)  # drop BEFORE the
+        .distinct()                               # distinct's shuffle
     )

@@ -212,7 +212,7 @@ def test_simhash_candidate_pairs_exact_recall(spark):
     sigs = spark.createDataFrame(
         [(i, h) for i, h in enumerate(
             [0b1010101010101010, 0b1010101010101011,  # hamming 1
-             0b1010101010101110, 0b0101010101010101,  # h(0,2)=2... and far
+             0b1010101010101110, 0b0101010101010101,  # h(0,2)=1; 4th far
              0b1111000011110000]
         )],
         "id long, simhash long",
