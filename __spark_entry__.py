@@ -630,7 +630,10 @@ def q_ann_cosine_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
     corpus = emb.select("vec_id", "embedding")
-    scored = cosine_topk(queries, corpus, k=6)  # k=6 then drop self
+    # k=6 then drop self; tie_round=6 makes the inner k-cut use the SAME
+    # (round(cos,6), id) ordering as the outer rank and the oracle — a raw-
+    # cos cut could drop a row that rounded ties would keep (hash flake)
+    scored = cosine_topk(queries, corpus, k=6, tie_round=6)
     out = scored.filter(F.col("query_id") != F.col("vec_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cos", 6)), "vec_id")
     return (
@@ -655,7 +658,9 @@ def q_ivf_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
     )
-    scored = ivf_topk(assigned, centroids, queries, k=6, nprobe=8)
+    # tie_round=6: the inner k-cut orders by (round(cos,6), id) — same
+    # ordering as the outer rank and the oracle (see q_ann_cosine_topk)
+    scored = ivf_topk(assigned, centroids, queries, k=6, nprobe=8, tie_round=6)
     out = scored.filter(F.col("query_id") != F.col("vec_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc(F.round("cos", 6)), "vec_id")
     return (

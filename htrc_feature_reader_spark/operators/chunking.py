@@ -135,8 +135,14 @@ def chunk_labels(
     overflow_strategy: str = "ends",
     doc_col: str = "htid",
     page_col: str = "page",
+    with_bounds: bool = False,
 ) -> DataFrame:
     """(doc, page, count) -> (doc, page, chunk) label map, distributed.
+    ``with_bounds=True`` adds per-chunk (pstart, pend) page bounds,
+    computed JVM-side from the per-doc label array BEFORE the explode —
+    labels are contiguous 1-based (cumsum of break marks), so chunk c's
+    bounds are the pages at the first/last index carrying label c; one
+    O(pages) filter per doc, no second aggregation and no extra join.
 
     Shape: one JVM-side groupBy collects each doc's (page, count) pairs
     into a sorted array, a SCALAR Arrow pandas UDF maps count-arrays to
@@ -175,10 +181,46 @@ def chunk_labels(
         )
     )
     z = F.explode(F.arrays_zip("__pages", "__labs")).alias("__z")
-    return per_doc.select(doc_col, z).select(
+    if not with_bounds:
+        return per_doc.select(doc_col, z).select(
+            doc_col,
+            F.col("__z.__pages").alias(page_col),
+            F.col("__z.__labs").cast("long").alias("chunk"),
+        )
+
+    labs, n = F.col("__labs"), F.size("__labs")
+    # 1-based indices where a new label starts / a label ends; labels are
+    # contiguous from 1, so chunk c's bounds sit at __firsts[c]/__lasts[c].
+    # when-guards keep element_at off index 0 / n+1 (If evaluates lazily).
+    firsts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(labs, i.cast("int"))
+            != F.element_at(labs, (i - 1).cast("int"))
+        ),
+    )
+    lasts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == n, F.lit(True)).otherwise(
+            F.element_at(labs, (i + 1).cast("int"))
+            != F.element_at(labs, i.cast("int"))
+        ),
+    )
+    staged = per_doc.select(
+        doc_col, "__pages",
+        firsts.alias("__firsts"), lasts.alias("__lasts"), z,
+    )
+    chunk = F.col("__z.__labs").cast("long")
+    return staged.select(
         doc_col,
         F.col("__z.__pages").alias(page_col),
-        F.col("__z.__labs").cast("long").alias("chunk"),
+        chunk.alias("chunk"),
+        F.element_at(
+            F.col("__pages"), F.element_at("__firsts", chunk.cast("int")).cast("int")
+        ).alias("pstart"),
+        F.element_at(
+            F.col("__pages"), F.element_at("__lasts", chunk.cast("int")).cast("int")
+        ).alias("pend"),
     )
 
 
@@ -188,7 +230,7 @@ def chunked_tokenlist(
     overflow_strategy: str = "ends",
     page_ref: bool = False,
     doc_col: str = "htid",
-    broadcast_labels: bool = True,
+    broadcast_labels: bool = False,
     **fold_kwargs,
 ) -> DataFrame:
     """Tokenlist folded by chunk instead of page (reference
@@ -196,8 +238,16 @@ def chunked_tokenlist(
 
     1. fold with pages kept (chunking needs per-page counts),
     2. per-doc chunk labels via the sequential algorithm,
-    3. equi-join labels back (broadcast — the label map is tiny),
+    3. equi-join labels back,
     4. regroup by chunk; optionally attach per-chunk (pstart, pend).
+
+    The label map (and the page_ref bounds table) is one row per
+    (doc, page) — tiny for one volume but #pages-sized corpus-wide
+    (billions of rows at 100 TB), so the joins are UNHINTED by default:
+    AQE broadcasts them when their runtime size is actually small and
+    falls back to a shuffle join otherwise. ``broadcast_labels=True``
+    forces the hint for single-volume / notebook use where the caller
+    knows the map fits.
     """
     fold_kwargs["pages"] = True
     fold_kwargs.setdefault("section", "all")
@@ -206,19 +256,24 @@ def chunked_tokenlist(
 
     page_counts = tl.groupBy(doc_col, pagecol).agg(F.sum("count").alias("count"))
     labels = chunk_labels(
-        page_counts, chunk_target, overflow_strategy, doc_col=doc_col, page_col=pagecol
+        page_counts, chunk_target, overflow_strategy, doc_col=doc_col,
+        page_col=pagecol, with_bounds=page_ref,
     )
     if broadcast_labels:
         labels = F.broadcast(labels)
 
+    # ONE join attaches chunk (+ bounds when page_ref): bounds come from the
+    # per-doc label arrays pre-explode, so the Arrow labeler runs once —
+    # a second bounds aggregate would re-evaluate the whole label subplan
+    # (Spark has no cross-branch common-subplan reuse).
     with_chunks = tl.join(labels, on=[doc_col, pagecol])
-    regroup = [c for c in with_chunks.columns if c not in (pagecol, "count", "chunk")]
-    out = with_chunks.groupBy(*regroup, "chunk").agg(F.sum("count").alias("count"))
-
+    regroup = [c for c in with_chunks.columns
+               if c not in (pagecol, "count", "chunk", "pstart", "pend")]
+    keys = [*regroup, "chunk"] + (["pstart", "pend"] if page_ref else [])
+    out = with_chunks.groupBy(*keys).agg(F.sum("count").alias("count"))
     if page_ref:
-        bounds = (
-            with_chunks.groupBy(doc_col, "chunk")
-            .agg(F.min(pagecol).alias("pstart"), F.max(pagecol).alias("pend"))
-        )
-        out = out.join(F.broadcast(bounds), on=[doc_col, "chunk"])
+        # column order parity with the two-join formulation (…, count, pstart, pend)
+        out = out.select(*regroup, "chunk",
+                         *[c for c in out.columns if c not in (*regroup, "chunk", "pstart", "pend")],
+                         "pstart", "pend")
     return out

@@ -186,11 +186,20 @@ def remove_stop_shingles(
     while bounding every bucket.
 
     Plan shape: one aggregate over the shingle table (map-side combinable)
-    produces the stop set — tiny by construction (only shingles in >50% of
-    the corpus) — which anti-joins back as a broadcast. Never a join against
-    the keep set (that's vocabulary-sized). The corpus size for the
-    fractional form rides in as a broadcast 1-row aggregate — no driver
-    action at plan-construction time.
+    produces the stop set, which anti-joins back. Never a join against the
+    keep set (that's vocabulary-sized). The corpus size for the fractional
+    form rides in as a broadcast 1-row aggregate — no driver action at
+    plan-construction time.
+
+    Broadcast policy: the stop set is forced-broadcast ONLY for the
+    fractional form, where it is bounded by construction independent of
+    corpus size: sum(df) = n_docs * avg_shingles_per_doc, so at most
+    avg_shingles_per_doc / max_df_frac shingles can each exceed
+    max_df_frac * n_docs (~2x a document's shingle count at the 0.5
+    default — kilobytes). An absolute ``max_df`` gives no such bound —
+    max_df=5 on a web corpus stops most of the VOCABULARY — so that form
+    stays unhinted and AQE picks broadcast vs shuffle from the stop set's
+    actual size.
     """
     if max_df is None and max_df_frac is None:
         return doc_shingles
@@ -205,17 +214,16 @@ def remove_stop_shingles(
         pairs = pairs.distinct()
     counts = pairs.groupBy(shingle_col).agg(F.count(F.lit(1)).alias("__df"))
     if max_df is not None:
-        stop = counts.filter(F.col("__df") > max_df)
+        stop = counts.filter(F.col("__df") > max_df).select(shingle_col)
     else:
         n_docs = doc_shingles.select(id_col).distinct().agg(
             F.count(F.lit(1)).alias("__n_docs")
         )
         stop = counts.join(F.broadcast(n_docs)).filter(
             F.col("__df") > F.col("__n_docs") * F.lit(float(max_df_frac))
-        )
-    return doc_shingles.join(
-        F.broadcast(stop.select(shingle_col)), on=shingle_col, how="left_anti"
-    )
+        ).select(shingle_col)
+        stop = F.broadcast(stop)  # bounded by construction (see docstring)
+    return doc_shingles.join(stop, on=shingle_col, how="left_anti")
 
 
 def minhash_signatures(
@@ -291,7 +299,9 @@ def jaccard_pairs(
 
     (id_a, id_b, jacc) with id_a < id_b and jacc >= threshold. The shared-
     shingle equi-join prunes the quadratic space; sizes come from one
-    aggregate and broadcast back.
+    aggregate and join back UNHINTED — the per-doc size table is one row
+    per document (corpus-sized at 100 TB), so a forced broadcast would OOM
+    every executor; AQE broadcasts it only when it is actually small.
     """
     sizes = doc_shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = doc_shingles.select(F.col("id").alias("id_a"), "shingle")
@@ -305,8 +315,8 @@ def jaccard_pairs(
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jacc",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -318,7 +328,7 @@ def jaccard_pairs(
 
 def simhash(
     doc_tokens: DataFrame,
-    bits: int = 16,
+    bits: int = 48,
     seed: int = 42,
     id_col: str = "id",
     token_id_col: str = "token_id",
@@ -329,6 +339,11 @@ def simhash(
     Bit j of token t = ((token_id * A + B) >> j) & 1 with deterministic odd
     A — exact integer arithmetic (oracle-reproducible). Fingerprint bit j is
     the sign of the weighted sum of (2*bit - 1).
+
+    The default bits=48 follows the corpus-scale sizing rule documented on
+    :func:`simhash_candidate_pairs` (band width must grow with
+    log2(corpus); 48/4 bands = 12-bit buckets, right for million-doc
+    corpora). Small-bit configs are for oracle-scale tests only.
     """
     A = 2 * ((seed * 2_654_435_761) % (1 << 30)) + 1
     B = seed * 97 + 13
@@ -355,7 +370,7 @@ def hamming_distance(a, b):
 
 def simhash_candidate_pairs(
     sigs: DataFrame,
-    bits: int = 16,
+    bits: int = 48,
     n_bands: int = 4,
     max_hamming: int | None = None,
     id_col: str = "id",
@@ -372,10 +387,11 @@ def simhash_candidate_pairs(
 
     SIZING AT SCALE: each band has 2^(bits/n_bands) buckets and the
     candidate join emits ~N^2 / 2^(bits/n_bands) pairs per band — band
-    width must grow with log2(corpus) or the buckets go quadratic. Use
-    bits >= 48 (width >= 12-16) for million-doc corpora; ``simhash``
-    supports bits up to 62 in one int64 fingerprint. The 16-bit configs
-    in tests/driver queries are oracle-scale, not corpus-scale.
+    width must grow with log2(corpus) or the buckets go quadratic. The
+    defaults (bits=48, n_bands=4 -> 12-bit bands) follow that rule for
+    million-doc corpora; ``simhash`` supports bits up to 62 in one int64
+    fingerprint. The 16-bit configs in tests/driver queries are
+    oracle-scale, not corpus-scale.
     """
     if bits % n_bands:
         raise ValueError("n_bands must divide bits evenly")

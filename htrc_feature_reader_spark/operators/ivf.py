@@ -105,12 +105,15 @@ def ivf_topk(
     query_vec: str = "q_embedding",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    tie_round: int | None = None,
 ) -> DataFrame:
     """Top-k by cosine, probing only each query's ``nprobe`` nearest
     buckets: join the query probe rows to the assigned corpus on bucket
     (the planner broadcasts when the query batch is small and falls back
     to shuffle join for large serving batches — no forced hint), exact
-    cosine inside the probed buckets, per-query window top-k."""
+    cosine inside the probed buckets, per-query window top-k.
+    ``tie_round``: rank the k-cut by ``round(cos, tie_round)`` (id
+    tiebreak) so it agrees with consumers comparing rounded scores."""
     dists = [
         (cid, _sq_dist(F.col(query_vec), F.array(*[F.lit(x) for x in c])))
         for cid, c in centroids
@@ -131,8 +134,9 @@ def ivf_topk(
         F.col(corpus_id),
         cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos"),
     )
+    rank_by = F.round("cos", tie_round) if tie_round is not None else F.col("cos")
     w = Window.partitionBy(query_id).orderBy(
-        F.desc("cos"), F.asc(corpus_id)  # deterministic tie-break
+        F.desc(rank_by), F.asc(corpus_id)  # deterministic tie-break
     )
     return (
         scored.withColumn("__rk", F.row_number().over(w))

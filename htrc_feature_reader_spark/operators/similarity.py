@@ -47,11 +47,16 @@ def cosine_topk(
     query_vec: str = "q_embedding",
     corpus_vec: str = "embedding",
     broadcast_queries: bool = True,
+    tie_round: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (query_id, vec_id, cos) per query.
 
     Query side broadcast (no shuffle of the corpus); per-query top-k via a
     window on the joined score — ties broken by corpus id for determinism.
+    ``tie_round``: rank by ``round(cos, tie_round)`` instead of raw cos so
+    the k-cut agrees with any downstream consumer that compares rounded
+    scores (e.g. a cross-engine oracle) — raw-cos ordering can cut a row
+    the rounded ordering keeps when near-ties straddle the boundary.
     """
     q = F.broadcast(queries) if broadcast_queries else queries
     scored = q.crossJoin(corpus).select(
@@ -59,7 +64,8 @@ def cosine_topk(
         corpus_id,
         cosine(F.col(query_vec), F.col(corpus_vec)).alias("cos"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("cos"), F.col(corpus_id))
+    rank_by = F.round("cos", tie_round) if tie_round is not None else F.col("cos")
+    w = Window.partitionBy(query_id).orderBy(F.desc(rank_by), F.col(corpus_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

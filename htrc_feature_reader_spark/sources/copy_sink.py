@@ -82,7 +82,17 @@ def copy_volumes(
 
     Destination files keep the source basename (with the codec extension
     swapped on transcode), mirroring the reference's resolver naming;
-    colliding destination names get a stable path-hash prefix.
+    colliding destination names get a stable path-hash prefix. Collisions
+    are detected BOTH within this call's source listing AND against files
+    already in ``dest_dir`` from earlier ``copy_volumes`` runs: every task
+    appends (dest name -> source path) provenance records to
+    ``dest_dir/.copy_manifest/``, and a new run hash-prefixes any dest
+    name that exists with DIFFERENT provenance (recorded other source, or
+    present on disk with no record at all) — re-running the same copy
+    stays idempotent (same source -> same name -> clean overwrite), while
+    a different source can never silently clobber a prior copy. The
+    provenance check is Spark-side joins; only actual conflicts are ever
+    collected to the driver.
     Requires ``dest_dir`` to be a task-writable shared filesystem — true
     for local mode and for clusters mounting a shared store.
     """
@@ -112,7 +122,46 @@ def copy_volumes(
         .groupBy("b").count().filter(F.col("count") > 1).collect()
     }
 
+    # Cross-RUN collisions: a dest name already present from a previous
+    # copy_volumes run with a different source (or a foreign file with no
+    # provenance record) must not be clobbered. Provenance lives in task-
+    # written shards under dest_dir/.copy_manifest/ — joined Spark-side so
+    # only the conflicting names (not the corpus of files) hit the driver.
+    manifest_dir = os.path.join(dest_dir, ".copy_manifest")
+    src_local = F.regexp_replace("path", "^file:", "")
+    planned = files.select(src_local.alias("src"), dest_name.alias("b"))
+    if os.path.isdir(manifest_dir) and any(
+        e.endswith(".json") for e in os.listdir(manifest_dir)
+    ):
+        man = (
+            spark.read.schema("b string, src string")
+            .json(os.path.join(manifest_dir, "*.json"))
+            .dropna().distinct()
+        )
+    else:
+        man = spark.createDataFrame([], "b string, src string")
+    recorded_other = (
+        planned.join(man.withColumnRenamed("src", "__rec_src"), on="b")
+        .filter(F.col("src") != F.col("__rec_src"))
+        .select("b").distinct()
+    )
+    existing = [
+        e for e in (os.listdir(dest_dir) if os.path.isdir(dest_dir) else [])
+        if e != ".copy_manifest"
+    ]
+    on_disk = spark.createDataFrame([(e,) for e in existing] or [], "b string")
+    foreign = (
+        planned.join(on_disk, on="b", how="left_semi")
+        .join(man.select("b"), on="b", how="left_anti")
+        .select("b").distinct()
+    )
+    dupe_bases |= {r["b"] for r in recorded_other.unionByName(foreign).collect()}
+
     def copy_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+        import uuid
+
+        written: list[tuple[str, str]] = []
         for pdf in batches:
             out = {
                 "src": [], "dest": [], "n_bytes_in": [], "n_bytes_out": [],
@@ -147,12 +196,23 @@ def copy_volumes(
                 with open(tmp, "wb") as f:
                     f.write(payload)
                 os.replace(tmp, dest)  # atomic publish, re-run idempotent
+                written.append((final_base, local))
                 out["src"].append(local)
                 out["dest"].append(dest)
                 out["n_bytes_in"].append(len(content))
                 out["n_bytes_out"].append(len(payload))
                 out["skipped_recompression"].append(skip)
             yield pd.DataFrame(out)
+        if written:
+            # provenance shard for future runs' collision checks; duplicate
+            # records across task retries are harmless (read is distinct())
+            os.makedirs(manifest_dir, exist_ok=True)
+            shard = os.path.join(manifest_dir, f"{uuid.uuid4().hex}.json")
+            tmp = shard + ".__tmp"
+            with open(tmp, "w") as f:
+                for b, s in written:
+                    f.write(json.dumps({"b": b, "src": s}) + "\n")
+            os.replace(tmp, shard)
 
     return files.select("path", "content").mapInPandas(
         copy_fn,

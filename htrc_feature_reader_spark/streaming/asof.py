@@ -9,7 +9,12 @@ build values at-or-before its timestamp. Semantics match the batch
 allowed, optional tolerance) for in-order replays; out-of-order rows
 ACROSS micro-batches see last-known state — the same documented streaming
 relaxation as ``stateful.stream_forward_fill``, with the batch operator as
-the exact oracle (tested in tests/test_streaming_asof.py).
+the exact oracle (tested in tests/test_streaming_asof.py). The relaxation
+is one-sided: a late PROBE (ts earlier than the state's newest build row)
+is never served a future build value — it falls back to the strictly-
+earlier state row or null-fills (zero temporal leakage, matching the
+batch operator's guarantee); what is relaxed is only that build rows
+older than the retained two-row state are forgotten.
 
 Scale shape (what the north rule cares about):
 - one shuffle (the groupBy key hash) shared by both streams — identical
@@ -138,6 +143,16 @@ def stream_asof_join(
                 cand_ts, cand_vals = last_ts, last_vals
                 if not allow_exact_matches and cand_ts == tss[i]:
                     cand_ts, cand_vals = prev_ts, prev_vals
+                # PIT guard: a probe arriving LATE across micro-batches
+                # (ts < state's last_ts) must never be enriched with a
+                # build value from after its timestamp — that is temporal
+                # leakage, and the (unsigned) tolerance check would wave
+                # the negative delta through. Fall back to the strictly-
+                # earlier state row; if that is also in the future, miss.
+                if cand_ts is not None and cand_ts > tss[i]:
+                    cand_ts, cand_vals = prev_ts, prev_vals
+                if cand_ts is not None and cand_ts > tss[i]:
+                    cand_ts, cand_vals = None, [None] * n_vals
                 hit = cand_ts is not None and (
                     tolerance_s is None
                     or (tss[i] - cand_ts).total_seconds() <= tolerance_s

@@ -48,11 +48,54 @@ def test_transcode_roundtrips_content(spark, tmp_path):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def _dest_files(dest):
+    return [e for e in os.listdir(dest) if e != ".copy_manifest"]
+
+
 def test_rerun_idempotent(spark, tmp_path):
     dest = str(tmp_path / "copies")
     copy_volumes(spark, FIXTURE, dest).collect()
     copy_volumes(spark, FIXTURE, dest).collect()  # overwrite, not append
-    assert len(os.listdir(dest)) == 1
+    assert len(_dest_files(dest)) == 1
+
+
+def test_cross_run_collision_never_clobbers(spark, tmp_path):
+    """A later run copying a DIFFERENT source to the same dest name must
+    hash-prefix its file, not last-writer-win over the earlier copy; a
+    foreign file (present with no provenance record) is protected too."""
+    src_a = tmp_path / "a" / "vol.json"
+    src_b = tmp_path / "b" / "vol.json"
+    src_a.parent.mkdir()
+    src_b.parent.mkdir()
+    src_a.write_bytes(b'{"who": "first"}')
+    src_b.write_bytes(b'{"who": "second"}')
+    dest = str(tmp_path / "copies")
+
+    copy_volumes(spark, str(src_a), dest).collect()
+    rec_b = copy_volumes(spark, str(src_b), dest).collect()[0]
+    # run 2's file is prefixed; run 1's survives byte-identical
+    assert os.path.basename(rec_b["dest"]) != "vol.json"
+    assert os.path.basename(rec_b["dest"]).endswith(".vol.json")
+    with open(os.path.join(dest, "vol.json"), "rb") as f:
+        assert f.read() == b'{"who": "first"}'
+    with open(rec_b["dest"], "rb") as f:
+        assert f.read() == b'{"who": "second"}'
+    assert len(_dest_files(dest)) == 2
+    # re-running run 2 is still idempotent (same src -> same prefixed name)
+    rec_b2 = copy_volumes(spark, str(src_b), dest).collect()[0]
+    assert rec_b2["dest"] == rec_b["dest"]
+    assert len(_dest_files(dest)) == 2
+
+    # foreign file with no provenance record: protected the same way
+    foreign = tmp_path / "c" / "other.json"
+    foreign.parent.mkdir()
+    foreign.write_bytes(b'{"who": "third"}')
+    with open(os.path.join(dest, "other.json"), "wb") as f:
+        f.write(b"pre-existing, unmanaged")
+    rec_c = copy_volumes(spark, str(foreign), dest).collect()[0]
+    assert os.path.basename(rec_c["dest"]) != "other.json"
+    with open(os.path.join(dest, "other.json"), "rb") as f:
+        assert f.read() == b"pre-existing, unmanaged"
 
 
 def test_duplicate_basenames_disambiguated(spark, tmp_path):

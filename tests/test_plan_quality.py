@@ -60,16 +60,53 @@ def test_asof_single_shuffle_window(spark):
         assert op not in plan
 
 
-def test_chunk_labels_broadcast_not_shuffled(tl_parquet):
-    plan = _formatted(chunked_tokenlist(tl_parquet, chunk_target=300, section="all"))
-    # both the label map and (with page_ref) bounds come back broadcast
-    assert "BroadcastHashJoin" in plan
+def _analyzed(df):
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_chunk_labels_default_unhinted_aqe_broadcasts(tl_parquet):
+    # the label map is #pages-sized corpus-wide: the default must carry NO
+    # forced broadcast hint (AQE decides from runtime size)...
+    out = chunked_tokenlist(tl_parquet, chunk_target=300, section="all",
+                            page_ref=True)
+    assert "ResolvedHint" not in _analyzed(out)
+    plan = _formatted(out)
     # the only Python is the batched Arrow chunk labeler (scalar pandas
     # UDF over per-doc count arrays — one invocation per Arrow batch, not
     # one per document like FlatMapGroupsInPandas)
     assert plan.count(") ArrowEvalPython") == 1
     assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan  # never row-at-a-time Python
+    # ...and at small scale AQE still picks a broadcast join at runtime
+    out.collect()
+    final = _formatted(out)
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final
+    # the explicit opt-in still forces the hint for notebook-scale use
+    hinted = chunked_tokenlist(tl_parquet, chunk_target=300, section="all",
+                               broadcast_labels=True)
+    assert "ResolvedHint" in _analyzed(hinted)
+
+
+def test_jaccard_pairs_no_forced_broadcast(tl_parquet):
+    # the per-doc shingle-size table is corpus-sized: never hint it
+    from htrc_feature_reader_spark.operators.dedup import (
+        jaccard_pairs,
+        remove_stop_shingles,
+    )
+
+    sh = tl_parquet.select(
+        F.col("htid").alias("id"), F.col("token").alias("shingle")
+    ).distinct()
+    assert "ResolvedHint" not in _analyzed(jaccard_pairs(sh, threshold=0.1))
+    # absolute max_df gives no size bound on the stop set -> unhinted too
+    assert "ResolvedHint" not in _analyzed(
+        remove_stop_shingles(sh, max_df=5, max_df_frac=None, assume_distinct=True)
+    )
+    # fractional form's stop set is bounded by construction -> hint kept
+    assert "ResolvedHint" in _analyzed(
+        remove_stop_shingles(sh, max_df_frac=0.5, assume_distinct=True)
+    )
 
 
 def test_salted_asof_replicates_build_not_probe(spark):

@@ -231,6 +231,25 @@ def test_simhash_candidate_pairs_exact_recall(spark):
     assert got == brute and len(brute) >= 2
 
 
+def test_simhash_defaults_are_corpus_scale(spark):
+    """Defaults follow the documented sizing rule (bits=48, 4 bands of
+    width 12) — the 16-bit configs live only in oracle-scale tests. A
+    single-token doc's fingerprint equals its mixed hash masked to 48
+    bits, proving the default width end-to-end."""
+    from htrc_feature_reader_spark.operators.dedup import simhash
+
+    seed, token_id = 42, 123_456_789
+    A = 2 * ((seed * 2_654_435_761) % (1 << 30)) + 1
+    B = seed * 97 + 13
+    mixed = (token_id * A + B) % (1 << 62)
+    dt = spark.createDataFrame(
+        [(1, token_id, 1)], "id long, token_id long, weight long"
+    )
+    [row] = simhash(dt).collect()
+    assert row["simhash"] == mixed & ((1 << 48) - 1)
+    assert row["simhash"] >= (1 << 32)  # genuinely wider than 32 bits
+
+
 def test_simhash_wide_fingerprint_pairs(spark):
     """bits=48 (corpus-scale band width 12): a planted hamming-2 pair is
     found; fingerprints differing in every band are never candidates."""

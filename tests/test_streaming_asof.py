@@ -121,6 +121,50 @@ def test_stream_asof_state_across_micro_batches(spark, tmp_path):
     assert got == {("a", _mins(1)): 7.0, ("a", _mins(2)): 7.0}
 
 
+def test_stream_asof_late_probe_never_sees_future(spark, tmp_path):
+    """A probe arriving late across micro-batches (ts before the state's
+    newest build row) must NOT be enriched with that future value — it
+    falls back to the strictly-earlier state row, or null-fills when every
+    retained build row is in its future (zero temporal leakage)."""
+    build = spark.createDataFrame(
+        [("a", _mins(0), 1.0), ("a", _mins(10), 2.0), ("b", _mins(10), 9.0)],
+        "key string, ts timestamp, price double",
+    )
+    probe1 = spark.createDataFrame(
+        [("a", _mins(11), 1)], "key string, ts timestamp, qty long"
+    )
+    bpath, ppath = str(tmp_path / "build"), str(tmp_path / "probe")
+    build.coalesce(1).write.parquet(bpath)
+    probe1.coalesce(1).write.parquet(ppath)
+    bs = spark.readStream.schema(build.schema).parquet(bpath)
+    ps = spark.readStream.schema(probe1.schema).parquet(ppath)
+
+    # tolerance present: without the PIT guard the negative delta would
+    # always pass the (unsigned) tolerance check and leak the future value
+    out = stream_asof_join(ps, bs, on="key", ts="ts", tolerance_s=3600.0)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("asof_pit").start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("a", _mins(5), 2),   # late: before state's last_ts=10 -> prev (t=0)
+             ("b", _mins(5), 3)],  # late: only retained build is in the future -> null
+            "key string, ts timestamp, qty long",
+        ).coalesce(1).write.mode("append").parquet(ppath)
+        q.processAllAvailable()
+        got = {
+            (r["key"], r["ts"]): r["price"]
+            for r in spark.sql("select * from asof_pit").collect()
+        }
+    finally:
+        q.stop()
+    assert got[("a", _mins(11))] == 2.0   # in-order probe: newest build
+    assert got[("a", _mins(5))] == 1.0    # late probe: strictly-earlier row
+    assert got[("b", _mins(5))] is None   # late probe, no earlier row: null
+
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
