@@ -412,6 +412,22 @@ def q_asof_salted(spark, sf_dir):
     return asof_join(probe, build, on="user_id", ts="ts", salt=8)
 
 
+def q_asof_auto_salt(spark, sf_dir):
+    """Fourth physical variant: LAZY per-key adaptive salting
+    (salt='auto', operators/asof.py:_salted_adaptive) — key row counts
+    ride along as an in-plan aggregate (no driver job at construction),
+    each key gets ceil(rows/target) buckets. Same one DuckDB ASOF oracle;
+    target lowered so the path actually salts at driver scale."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    build = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return asof_join(
+        probe, build, on="user_id", ts="ts", salt="auto", salt_target_rows=4
+    )
+
+
 def q_asof_forward(spark, sf_dir):
     """Forward as-of: next 'click' value at or after each 'signup'."""
     ev = _t(spark, sf_dir, "events")
@@ -1323,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": q_asof_purchase_view,
         "asof_merge_strategy": q_asof_merge_strategy,
         "asof_salted": q_asof_salted,
+        "asof_auto_salt": q_asof_auto_salt,
         "asof_forward": q_asof_forward,
         "sessionize": q_sessionize,
         "lag_delta": q_lag_delta,
@@ -1632,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_view": _ASOF_PURCHASE_SQL,
         "asof_merge_strategy": _ASOF_PURCHASE_SQL,
         "asof_salted": _ASOF_PURCHASE_SQL,
+        "asof_auto_salt": _ASOF_PURCHASE_SQL,
         "asof_forward": """
           SELECT p.event_id, p.user_id, p.ts, c.click_value
           FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') p

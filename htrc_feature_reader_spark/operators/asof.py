@@ -17,6 +17,11 @@ Two physical strategies, same semantics:
   ``salt`` buckets while the build side is *replicated* into every bucket,
   so each replica still sees the full ordered build timeline (never split
   the timeline mid-window: that would leak or drop matches).
+  ``salt=<int>`` applies a fixed factor to every key; ``salt='auto'`` is
+  LAZY per-key salting (see ``_salted_adaptive``) — key row counts ride
+  along as an in-plan aggregate, so construction runs no driver job and
+  only actually-hot keys pay replication. ``choose_salt`` remains as an
+  explicit eager pre-pass for callers who want one global factor.
 
 - ``merge`` (grouped-map Arrow UDF): per-key ``pandas.merge_asof``. Kept
   for parity testing and for options Catalyst can't express cheaply
@@ -44,7 +49,10 @@ def choose_salt(
     max_salt: int = 32,
     sample_fraction: float = 0.01,
 ) -> int:
-    """Pick a salt factor from the probe's hot-key mass.
+    """EXPLICIT PRE-PASS: pick a global salt factor from the probe's
+    hot-key mass (runs one sampled Spark job when called — call it once
+    and pass the result as ``salt=<int>``; ``asof_join(salt='auto')`` is
+    the lazy alternative and runs no job at plan-construction time).
 
     Salting is not free — the build timeline is replicated x salt — so it
     only pays when one key's window work dominates a stage (measured on
@@ -61,6 +69,56 @@ def choose_salt(
     import math
 
     return max(1, min(max_salt, math.ceil(est_hot / target_rows_per_task)))
+
+
+def _salted_adaptive(
+    probe: DataFrame,
+    build: DataFrame,
+    keys: list[str],
+    target_rows_per_task: int,
+    max_salt: int,
+):
+    """Per-key lazy salting (``salt='auto'``): each key's salt factor is
+    ceil(its probe row count / target), clamped to ``max_salt`` — computed
+    INSIDE the plan (one extra map-side-combinable aggregate + two key
+    joins), so plan construction runs no driver job and cold keys pay no
+    replication at all. Build rows replicate into exactly their key's
+    bucket count (keys absent from the probe default to 1); every replica
+    still sees the full ordered build timeline, so semantics are identical
+    to the fixed-salt form.
+    """
+    counts = probe.groupBy(*keys).agg(F.count(F.lit(1)).alias("__key_rows"))
+    dim = counts.select(
+        *keys,
+        F.least(
+            F.lit(max_salt),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("__key_rows") / F.lit(target_rows_per_task)),
+            ).cast("int"),
+        ).alias("__n_salt"),
+    )
+    p = (
+        probe.join(dim, on=keys)
+        .withColumn(
+            "__salt",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in probe.columns]), F.col("__n_salt")
+            ).cast("int"),
+        )
+        .select(*probe.columns, "__salt")  # keep the caller's column order
+    )
+    b = (
+        build.join(dim, on=keys, how="left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("__n_salt"), F.lit(1)) - 1)
+            ),
+        )
+        .select(*build.columns, "__salt")
+    )
+    return p, b, keys + ["__salt"]
 
 
 def _salted(probe: DataFrame, build: DataFrame, keys: list[str], salt: int):
@@ -86,6 +144,8 @@ def asof_join(
     salt: int | str | None = None,
     matched_ts: bool = False,
     allow_exact_matches: bool = True,
+    salt_target_rows: int = 500_000,
+    max_salt: int = 32,
 ) -> DataFrame:
     """As-of join ``build``'s latest values onto ``probe`` rows.
 
@@ -108,8 +168,11 @@ def asof_join(
         raise ValueError(f"unknown strategy {strategy!r}")
 
     if salt == "auto":
-        salt = choose_salt(probe, keys)
-    if salt and salt > 1:
+        # lazy per-key salting: no driver job at plan-construction time
+        probe, build, keys = _salted_adaptive(
+            probe, build, keys, salt_target_rows, max_salt
+        )
+    elif salt and salt > 1:
         probe, build, keys = _salted(probe, build, keys, salt)
 
     probe_cols = [c for c in probe.columns if c != "__salt"]

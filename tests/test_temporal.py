@@ -172,3 +172,52 @@ def test_auto_salt(spark):
     a = a.sort_values(["key", "ts"]).reset_index(drop=True)
     b = b.sort_values(["key", "ts"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_auto_salt_construction_runs_no_job(spark):
+    """salt='auto' is lazy per-key salting: the key-count dimension rides
+    inside the plan, so building the join must launch no driver job
+    (mirrors test_tf_idf_construction_runs_no_job)."""
+    probe = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("key"),
+        F.timestamp_micros((F.col("id") * 1000).cast("long")).alias("ts"),
+    )
+    build = probe.withColumn("v", F.lit(1.0))
+    sc = spark.sparkContext
+    group = "asof-auto-lazy-probe"
+    sc.setJobGroup(group, "salt='auto' must not run jobs at plan construction")
+    try:
+        out = asof_join(probe, build, on="key", ts="ts", salt="auto")
+    finally:
+        sc.setJobGroup(None, None)
+    assert not sc.statusTracker().getJobIdsForGroup(group), \
+        "asof_join(salt='auto') triggered a Spark job during plan construction"
+    # and the lazy plan still computes the right thing
+    assert out.count() == 1000
+
+
+def test_auto_salt_mixed_keys_match_unsalted(spark):
+    """Per-key factors: one hot key (salted) and many cold keys (factor 1)
+    in the SAME join — results identical to unsalted, including build-only
+    and probe-only keys."""
+    hot = spark.range(5000).select(
+        F.lit("hot").alias("key"),
+        F.timestamp_micros((F.col("id") * 1000).cast("long")).alias("ts"),
+    )
+    cold = spark.range(200).select(
+        (F.col("id") % 50).cast("string").alias("key"),
+        F.timestamp_micros((F.col("id") * 7000).cast("long")).alias("ts"),
+    )
+    probe = hot.unionByName(cold)
+    build = probe.sample(0.3, seed=11).withColumn("v", F.col("ts").cast("double"))
+    # a build-only key: present in build, absent from probe (factor 1 path)
+    build = build.unionByName(
+        hot.limit(5).select(F.lit("buildonly").alias("key"), "ts")
+        .withColumn("v", F.lit(9.9))
+    )
+    a = asof_join(probe, build, on="key", ts="ts", salt="auto").toPandas()
+    b = asof_join(probe, build, on="key", ts="ts").toPandas()
+    key = ["key", "ts", "v"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
