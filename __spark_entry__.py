@@ -600,6 +600,32 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster-correct near-dup survivorship: LSH candidate pairs ->
+    signature-estimated-Jaccard verification (>= 2/8 agreeing positions)
+    -> connected components via iterative large-star/small-star joins
+    (operators/components.py). Output (doc_id, component) with component
+    = min doc_id of the cluster — deterministic under any partitioning.
+    The oracle replays the identical pair set and resolves components by
+    recursive reachability + min."""
+    from htrc_feature_reader_spark.operators.components import connected_components
+    from htrc_feature_reader_spark.operators.dedup import (
+        verify_pairs_by_signature,
+        word_shingle_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ds = word_shingle_ids(docs, "text", "doc_id", n=3)
+    ds = remove_stop_shingles(ds, max_df_frac=0.5, shingle_col="shingle_id",
+                              assume_distinct=True)
+    sigs = minhash_signatures(ds, n_hashes=_MH_N, seed=_MH_SEED)
+    pairs = lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2)
+    ver = verify_pairs_by_signature(pairs, sigs, threshold=0.25,
+                                    keep_estimate=False)
+    cc = connected_components(ver)
+    return cc.select(F.col("id").alias("doc_id"), "component")
+
+
 def _simhash_sigs(spark, sf_dir):
     """Shared fingerprint pipeline for q_simhash and q_simhash_pairs —
     both must stay bit-identical for the one _simhash_sql oracle."""
@@ -1256,14 +1282,18 @@ def _pipeline_sql() -> str:
     """Oracle for q_training_pipeline: the full funnel in one query —
     quality thresholds (CleanConfig defaults), keep-min exact dedup,
     then the engine's exact minhash/LSH chain over the SURVIVORS (same
-    hash-then-cap order as _minhash_sql) with the larger id of every
-    candidate pair dropped."""
+    hash-then-cap order as _minhash_sql), candidate pairs VERIFIED by the
+    signature-estimated Jaccard (matching positions / n_hashes >= 0.5 —
+    CleanConfig.near_dup_threshold) before the larger id is dropped."""
     hash_exprs = ", ".join(
         f"min(({a} * (((sid + 1) * 2654435761) % {_MH_P}) + {b}) % {_MH_P}) AS h{i}"
         for i, (a, b) in enumerate(_MH_COEF)
     )
     band_conds = " OR ".join(
         f"(a.h{2*b} = b.h{2*b} AND a.h{2*b+1} = b.h{2*b+1})" for b in range(4)
+    )
+    match_sum = " + ".join(
+        f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(_MH_N)
     )
     sid = _SQL_ROLLHASH.format(col="shingle")
     return rf"""
@@ -1301,7 +1331,8 @@ def _pipeline_sql() -> str:
       mh AS (SELECT doc_id, {hash_exprs} FROM ds GROUP BY doc_id),
       dropped AS (
         SELECT DISTINCT b.doc_id AS doc_id
-        FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_conds})),
+        FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_conds})
+        WHERE ({match_sum}) / {_MH_N}.0 >= 0.5),
       final AS (SELECT * FROM surv ANTI JOIN dropped USING (doc_id))
       SELECT doc_id, lang, n_chars, n_tokens,
              n_tokens AS ws_tokens,
@@ -1354,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -1416,6 +1448,48 @@ def _minhash_sql() -> str:
       mh AS (SELECT doc_id, {hash_exprs} FROM ds GROUP BY doc_id)
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_conds})
+    """
+
+
+def _dedup_clusters_sql() -> str:
+    """Oracle for q_dedup_clusters: the q_minhash_lsh pair chain plus the
+    signature-match verification filter, then connected components by
+    recursive reachability over the undirected pair graph — component =
+    least(id, min reachable id). Reachability is O(n * component size),
+    fine at oracle scale; the engine uses the O(log^2 n) star algorithm."""
+    hash_exprs = ", ".join(
+        f"min(({a} * (((sid + 1) * 2654435761) % {_MH_P}) + {b}) % {_MH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MH_COEF)
+    )
+    band_conds = " OR ".join(
+        f"(a.h{2*b} = b.h{2*b} AND a.h{2*b+1} = b.h{2*b+1})" for b in range(4)
+    )
+    match_sum = " + ".join(f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(_MH_N))
+    sid = _SQL_ROLLHASH.format(col="shingle")
+    return f"""
+      WITH RECURSIVE
+      sh AS ({_SQL_SHINGLES}),
+      ds0 AS (SELECT DISTINCT doc_id, {sid} AS sid FROM sh),
+      ds AS (
+        SELECT ds0.doc_id, ds0.sid FROM ds0
+        ANTI JOIN (
+          SELECT sid FROM ds0 GROUP BY sid
+          HAVING count(*) > 0.5 * (SELECT count(DISTINCT doc_id) FROM ds0)
+        ) stop USING (sid)),
+      mh AS (SELECT doc_id, {hash_exprs} FROM ds GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_conds})
+        WHERE ({match_sum}) / {_MH_N}.0 >= 0.25),
+      und AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT u AS id, v AS r FROM und
+        UNION
+        SELECT reach.id, und.v FROM reach JOIN und ON reach.r = und.u)
+      SELECT id AS doc_id, least(id, min(r)) AS component
+      FROM reach GROUP BY id
     """
 
 
@@ -1781,6 +1855,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
         """,
         "minhash_lsh": _minhash_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "simhash": _simhash_sql(),
         # band constants derived from _SH_BITS exactly like the Spark side
         # (simhash_candidate_pairs(bits=_SH_BITS, n_bands=_SH_PAIR_BANDS))

@@ -19,9 +19,11 @@ from .dedup import (  # noqa: F401
     remove_stop_shingles,
     shingle_ids,
     simhash,
+    verify_pairs_by_signature,
     word_shingle_ids,
     word_shingles,
 )
+from .components import connected_components  # noqa: F401
 from .similarity import cosine_topk, lsh_cosine_topk, near_dup_pairs  # noqa: F401
 from .pipeline import (  # noqa: F401
     CleanConfig,

@@ -292,6 +292,44 @@ def lsh_candidate_pairs(
     )
 
 
+def verify_pairs_by_signature(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    threshold: float = 0.5,
+    keep_estimate: bool = True,
+) -> DataFrame:
+    """Filter LSH candidate pairs by the MinHash-estimated Jaccard — the
+    fraction of agreeing signature positions — keeping pairs with estimate
+    >= ``threshold``.
+
+    Raw LSH banding has a significant false-positive floor at web scale
+    (with 4 bands x 2 rows the collision odds are ~1-(1-s^2)^4 — ~15% at
+    true Jaccard 0.2), so dropping documents on bare candidacy silently
+    deletes non-duplicates. This check is LAZY and cheap: two key joins
+    against the signature table (already computed for banding) and one
+    fixed-width zip_with — no re-scan of shingles, no extra shuffle beyond
+    the joins. For exact verification on the survivors, feed the result to
+    :func:`jaccard_pairs` instead.
+
+    Returns (id_a, id_b[, est_jaccard]).
+    """
+    sa = signatures.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa"))
+    sb = signatures.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb"))
+    matches = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", matches / F.size("__sa"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    cols = ["id_a", "id_b"] + (["est_jaccard"] if keep_estimate else [])
+    return est.select(*cols)
+
+
 def jaccard_pairs(
     doc_shingles: DataFrame, threshold: float = 0.5
 ) -> DataFrame:

@@ -11,9 +11,14 @@ Scale shape:
 - exact dedup is one map-side-digest + groupBy (one shuffle), rejoined as
   a broadcast-free semi join on (digest is unique -> join on id);
 - near-dup removal reuses the bucketed LSH pair miner (stop-shingle
-  capped, never corpus²) and drops the LARGER id of each candidate pair —
-  the same keep-min rule as exact dedup, so the result is deterministic
-  regardless of partitioning;
+  capped, never corpus²); candidate pairs are VERIFIED against the
+  MinHash-estimated Jaccard before any document is dropped (raw LSH
+  candidacy has a ~15%+ false-positive floor at low similarity — bare
+  candidates are not duplicates), then survivorship is either keep-min
+  per verified pair (lazy default) or keep-min per connected COMPONENT
+  of the verified pair graph (``survivorship='clusters'`` — cluster-
+  correct on chains, at the cost of the bounded iterative rounds in
+  ``operators/components.py``);
 - the final write goes through ``plans.write_partitioned`` /
   ``resume_write`` when the caller wants lineage + resumability.
 """
@@ -25,11 +30,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .components import connected_components
 from .dedup import (
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,
     remove_stop_shingles,
+    verify_pairs_by_signature,
     word_shingle_ids,
 )
 from .text import bpe_ish_token_count, lang_id, quality_features
@@ -52,6 +59,15 @@ class CleanConfig:
     lsh_rows: int = 2
     shingle_n: int = 3
     stop_shingle_frac: float = 0.5
+    # minimum MinHash-estimated Jaccard (fraction of agreeing signature
+    # positions) for a candidate pair to count as a duplicate; None skips
+    # verification (raw LSH candidacy — data loss at scale, see module doc)
+    near_dup_threshold: float | None = 0.5
+    # 'pairs': drop the larger id of each verified pair (fully lazy);
+    # 'clusters': connected components over the verified pair graph, keep
+    # min id per component (cluster-correct on chains; runs the bounded
+    # iterative rounds of operators/components.py when the plan is built)
+    survivorship: str = "pairs"
     extra_filters: list = field(default_factory=list)  # extra Column predicates
 
 
@@ -63,7 +79,9 @@ def clean_corpus(
 ) -> DataFrame:
     """Clean ``docs`` for training: returns surviving rows with quality
     columns, ``lang`` (detected or stored), and whitespace/BPE-ish token
-    counts attached. Fully lazy — one plan, no driver actions.
+    counts attached. Fully lazy — one plan, no driver actions — except
+    ``survivorship='clusters'``, which runs the bounded connected-
+    components rounds (documented iterative operator) while building.
     """
     cfg = config or CleanConfig()
     q = quality_features(docs, text_col)
@@ -99,10 +117,24 @@ def clean_corpus(
         pairs = lsh_candidate_pairs(
             sigs, n_bands=cfg.lsh_bands, rows_per_band=cfg.lsh_rows
         )
-        # keep-min rule: the larger id of every candidate pair goes. id_b
-        # is the larger by construction (id_a < id_b), so dropping the
-        # distinct id_b set is deterministic under any partitioning.
-        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        if cfg.near_dup_threshold is not None:
+            # never drop on bare candidacy: require the signature-estimated
+            # Jaccard to clear the threshold (lazy, reuses the signatures)
+            pairs = verify_pairs_by_signature(
+                pairs, sigs, cfg.near_dup_threshold, keep_estimate=False
+            )
+        if cfg.survivorship == "clusters":
+            comp = connected_components(pairs)
+            drop = comp.filter(F.col("id") != F.col("component")).select(
+                F.col("id").alias(id_col)
+            )
+        elif cfg.survivorship == "pairs":
+            # keep-min rule: the larger id of every verified pair goes.
+            # id_b is the larger by construction (id_a < id_b), so dropping
+            # the distinct id_b set is deterministic under any partitioning.
+            drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        else:
+            raise ValueError(f"unknown survivorship {cfg.survivorship!r}")
         q = q.join(drop, on=id_col, how="left_anti")
 
     # ws_tokens == quality's n_tokens (same split expression) — alias it
