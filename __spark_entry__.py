@@ -930,6 +930,39 @@ def q_chunked_tokenlist(spark, sf_dir):
     )
 
 
+def q_chunked_tokenlist_ends(spark, sf_dir):
+    """The reference's DEFAULT chunking strategy 'ends' (two-sided scan,
+    'mids' rebalancing — reference feature_reader.py:751) end-to-end,
+    replayed exactly by the _chunked_two_sided_sql recursive CTE."""
+    from htrc_feature_reader_spark.operators.chunking import chunked_tokenlist
+
+    tl = _chunk_tokens(spark, sf_dir)
+    out = chunked_tokenlist(
+        tl, chunk_target=_CHUNK_T, overflow_strategy="ends", page_ref=True,
+        doc_col="doc_id", case=True, pos=False,
+    )
+    return out.select(
+        "doc_id", "chunk", "token", F.col("count").alias("cnt"),
+        "pstart", "pend",
+    )
+
+
+def q_chunked_tokenlist_even(spark, sf_dir):
+    """Chunking strategy 'even' (two-sided, slack spread every pass),
+    same recursive-CTE oracle family with balance-always."""
+    from htrc_feature_reader_spark.operators.chunking import chunked_tokenlist
+
+    tl = _chunk_tokens(spark, sf_dir)
+    out = chunked_tokenlist(
+        tl, chunk_target=_CHUNK_T, overflow_strategy="even", page_ref=True,
+        doc_col="doc_id", case=True, pos=False,
+    )
+    return out.select(
+        "doc_id", "chunk", "token", F.col("count").alias("cnt"),
+        "pstart", "pend",
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """binary payload plumbing: metadata-only plan over an opaque payload."""
     docs = _t(spark, sf_dir, "documents")
@@ -1399,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_filter": q_stopword_filter,
         "embedding_near_dup": q_embedding_near_dup,
         "chunked_tokenlist": q_chunked_tokenlist,
+        "chunked_tokenlist_ends": q_chunked_tokenlist_ends,
+        "chunked_tokenlist_even": q_chunked_tokenlist_even,
         "section_group": q_section_group,
         "multimodal_meta": q_multimodal_meta,
         "quad_roundtrip": q_quad_roundtrip,
@@ -1598,6 +1633,133 @@ def _chunked_sql() -> str:
                          WHERE b.doc_id = c.doc_id AND b.base > 0
                            AND b.base < c.cs) AS BIGINT) AS chunk
         FROM cumt c),
+      bounds AS (SELECT doc_id, chunk, min(page) AS pstart, max(page) AS pend
+                 FROM labels GROUP BY 1, 2)
+      SELECT t.doc_id, l.chunk, t.token, count(*) AS cnt, bo.pstart, bo.pend
+      FROM toks t
+      JOIN labels l ON t.doc_id = l.doc_id AND t.page = l.page
+      JOIN bounds bo ON bo.doc_id = l.doc_id AND bo.chunk = l.chunk
+      GROUP BY 1, 2, 3, 5, 6
+    """
+
+
+def _chunked_two_sided_sql(balance_always: bool) -> str:
+    """DuckDB replay of the TWO-SIDED chunking strategies — 'ends'
+    (balance='mids': slack rebalancing from the second pass) and 'even'
+    (balance always) — i.e. operators/chunking.py:_label_chunks with
+    two_sided=True, defer=False. Each recursive row is one pass of the
+    Python loop: (lo, hi) window bounds, front/back break marks m1/m2,
+    with every quirk replicated exactly — signed slack nearest zero,
+    banker's-rounded n_chunks (round_even == np.round), slack*2/n_chunks
+    only when n_chunks > 2, the <2.5x-target midpoint split, the
+    lo+step>=n early stop, and the same-chunk-from-both-ends clamp
+    (hi := lo). Verified bit-equal to chunk_ends/chunk_even on every
+    sf0.001 document AND on 400 random count-array fuzz docs per
+    strategy. Labels = count of distinct break marks at-or-before each
+    page's 0-based position (mark 0 is implicit)."""
+    bal = "TRUE" if balance_always else "(passes > 1)"
+    T = _CHUNK_T
+    tok = f"""
+      SELECT doc_id,
+             CAST(((ord - 1) // {_CHUNK_PAGE}) + 1 AS BIGINT) AS page,
+             tok AS token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents)
+    """
+    return f"""
+      WITH RECURSIVE
+      toks AS ({tok}),
+      pages AS (SELECT doc_id, page, count(*) AS c FROM toks GROUP BY 1, 2),
+      cumt AS (SELECT doc_id, page, c,
+                      sum(c) OVER (PARTITION BY doc_id ORDER BY page) AS cs,
+                      (row_number() OVER (PARTITION BY doc_id ORDER BY page) - 1) AS idx0
+               FROM pages),
+      doc AS (SELECT doc_id, list(cs ORDER BY page) AS cums,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM cumt GROUP BY doc_id),
+      brk AS (
+        SELECT doc_id, cums, n,
+               CAST(0 AS BIGINT) AS lo, n AS hi, 0 AS passes,
+               CAST(NULL AS BIGINT) AS m1, CAST(NULL AS BIGINT) AS m2,
+               (n = 0) AS done
+        FROM doc
+        UNION ALL
+        SELECT doc_id, cums, n,
+               CASE WHEN fin OR two THEN lo ELSE lo + stepp END AS lo,
+               CASE WHEN fin OR two THEN hi
+                    WHEN lo + stepp >= n THEN hi
+                    WHEN lo + stepp > hi - backp THEN lo + stepp
+                    ELSE hi - backp END AS hi,
+               passes,
+               CASE WHEN fin THEN NULL
+                    WHEN two THEN (CASE WHEN lo + midp < n THEN lo + midp END)
+                    WHEN lo + stepp >= n THEN NULL
+                    ELSE lo + stepp END AS m1,
+               CASE WHEN fin OR two OR lo + stepp >= n THEN NULL
+                    ELSE hi - backp END AS m2,
+               (fin OR two OR lo + stepp >= n) AS done
+        FROM (
+          SELECT *,
+                 CASE WHEN NOT fin AND NOT two
+                      THEN list_position(adiffs, list_aggregate(adiffs, 'min'))
+                      ELSE CAST(0 AS BIGINT) END AS stepp,
+                 CASE WHEN two
+                      THEN list_position(mdiffs, list_aggregate(mdiffs, 'min'))
+                      ELSE CAST(0 AS BIGINT) END AS midp,
+                 CASE WHEN NOT fin AND NOT two
+                      THEN list_position(bdiffs, list_aggregate(bdiffs, 'min'))
+                      ELSE CAST(0 AS BIGINT) END AS backp
+          FROM (
+            SELECT *,
+                   list_transform(range(lo + 1, hi + 1),
+                                  j -> abs((cums[j] - base) - lt)) AS adiffs,
+                   list_transform(range(lo + 1, hi + 1),
+                                  j -> abs((cums[j] - base) - remaining / 2.0)) AS mdiffs,
+                   list_transform(range(1, hi - lo + 1),
+                                  i -> abs((cums[hi] - (CASE WHEN hi - i = 0 THEN 0 ELSE cums[hi - i] END)) - lt)) AS bdiffs
+            FROM (
+              SELECT *,
+                     {T} + slack_f / 2 AS lt,
+                     (remaining < 1.5 * {T}) AS fin,
+                     (remaining >= 1.5 * {T} AND remaining < 2.5 * {T}) AS two
+              FROM (
+                SELECT *,
+                       CASE WHEN bal AND nck > 2
+                            THEN slack1 * 2.0 / nck
+                            ELSE CAST(slack1 AS DOUBLE) END AS slack_f
+                FROM (
+                  SELECT *,
+                         round_even(remaining / CAST({T} AS DOUBLE), 0) AS nck,
+                         CASE WHEN ({T} - slack0) < slack0
+                              THEN slack0 - {T} ELSE slack0 END AS slack1,
+                         {bal} AS bal
+                  FROM (
+                    SELECT doc_id, cums, n, lo, hi, passes + 1 AS passes,
+                           (CASE WHEN lo = 0 THEN CAST(0 AS BIGINT) ELSE cums[lo] END) AS base,
+                           cums[hi] - (CASE WHEN lo = 0 THEN CAST(0 AS BIGINT) ELSE cums[lo] END) AS remaining,
+                           (cums[hi] - (CASE WHEN lo = 0 THEN CAST(0 AS BIGINT) ELSE cums[lo] END)) % {T} AS slack0
+                    FROM brk WHERE NOT done AND lo != hi
+                  )
+                )
+              )
+            )
+          )
+        )
+      ),
+      marks AS (
+        SELECT doc_id, m FROM (
+          SELECT doc_id, m1 AS m FROM brk
+          UNION SELECT doc_id, m2 FROM brk
+          UNION SELECT doc_id, CAST(0 AS BIGINT) FROM doc WHERE n > 0
+        ) WHERE m IS NOT NULL
+      ),
+      labels AS (
+        SELECT c.doc_id, c.page, CAST(count(*) AS BIGINT) AS chunk
+        FROM cumt c JOIN marks mk
+          ON mk.doc_id = c.doc_id AND mk.m <= c.idx0
+        GROUP BY 1, 2
+      ),
       bounds AS (SELECT doc_id, chunk, min(page) AS pstart, max(page) AS pend
                  FROM labels GROUP BY 1, 2)
       SELECT t.doc_id, l.chunk, t.token, count(*) AS cnt, bo.pstart, bo.pend
@@ -2018,6 +2180,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup": _near_dup_sql(),
         "chunked_tokenlist": _chunked_sql(),
+        "chunked_tokenlist_ends": _chunked_two_sided_sql(False),
+        "chunked_tokenlist_even": _chunked_two_sided_sql(True),
         "section_group": f"""
           WITH toks AS (
             SELECT doc_id,
