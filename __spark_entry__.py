@@ -729,6 +729,49 @@ def q_lang_distribution(spark, sf_dir):
     return docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def q_lang_detect(spark, sf_dir):
+    """The marker-stopword language-id HEURISTIC itself (operators/text.py
+    lang_id, ~10 languages) over the documents text, distribution by
+    detected code. The oracle replays the same distinct-token /
+    marker-intersect / max-(hits, lang) rule; tie-break is the
+    lexicographically greatest code on equal hits (array_max struct
+    ordering), 'und' on zero hits."""
+    from htrc_feature_reader_spark.operators.text import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        detect_language(docs.select("doc_id", "text"), out_col="detected")
+        .groupBy("detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_detect_sql() -> str:
+    from htrc_feature_reader_spark.operators.text import _LANG_MARKERS
+
+    vals = ",\n          ".join(
+        "('{}', [{}])".format(lang, ", ".join(repr(m) for m in ms))
+        for lang, ms in sorted(_LANG_MARKERS.items())
+    )
+    return rf"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_distinct(string_split_regex(lower(text), '\s+')) AS tk
+        FROM documents),
+      scores AS (
+        SELECT doc_id, l.lang, len(list_intersect(tk, l.markers)) AS hits
+        FROM toks CROSS JOIN (VALUES
+          {vals}) l(lang, markers)),
+      best AS (
+        SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS detected
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY hits DESC, lang DESC) AS rn
+              FROM scores)
+        WHERE rn = 1)
+      SELECT detected, count(*) AS n_docs FROM best GROUP BY detected
+    """
+
+
 def q_tf_idf(spark, sf_dir):
     """Source-level tf stats (north-star component): TF-IDF over the
     whitespace-token counts of the documents table. Fully lazy — the
@@ -1425,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "quality": q_quality,
         "lang_distribution": q_lang_distribution,
+        "lang_detect": q_lang_detect,
         "tf_idf": q_tf_idf,
         "fingerprint": q_fingerprint,
         "line_dedup": q_line_dedup,
@@ -2056,6 +2100,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": """
           SELECT source, lang, count(*) AS n_docs FROM documents GROUP BY 1, 2
         """,
+        "lang_detect": _lang_detect_sql(),
         "tf_idf": f"""
           WITH per AS (
             SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tc

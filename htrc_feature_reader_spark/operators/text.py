@@ -11,15 +11,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Tiny per-language stopword marker sets — enough signal for a coarse
-# heuristic language id on natural text (tested on real-language samples in
-# tests/test_text.py). Deliberately small: each probe is one array_contains
-# over the token array.
+# Tiny per-language stopword marker sets (drawn from public stopword
+# lists) — enough signal for a coarse heuristic language id on natural
+# text. Deliberately small: each probe is one array_intersect over the
+# distinct token array, all JVM-side. For production-grade 100+-language
+# coverage plug a real classifier in via ``detect_language(method='model',
+# model_fn=...)`` below.
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is", "that", "you", "with"],
     "fr": ["le", "la", "les", "et", "est", "que", "vous", "avec"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "sie"],
     "es": ["el", "los", "las", "es", "que", "usted", "con", "para"],
+    "it": ["il", "gli", "della", "che", "di", "per", "sono", "questo"],
+    "pt": ["não", "uma", "você", "são", "os", "das", "também", "mais"],
+    "nl": ["de", "het", "een", "niet", "voor", "aan", "ook", "zijn"],
+    "sv": ["och", "att", "det", "som", "för", "inte", "är", "med"],
+    "pl": ["nie", "się", "jest", "czy", "dla", "tego", "jak", "przez"],
+    "ru": ["и", "в", "не", "на", "что",
+           "это", "как", "вы"],
 }
 
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -49,6 +58,58 @@ def lang_id(text, default: str = "und") -> Column:
         scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def detect_language(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang",
+    method: str = "heuristic",
+    model_fn=None,
+    batch_hint: str = "pandas.Series[str] -> pandas.Series[str]",
+) -> DataFrame:
+    """Attach a language column.
+
+    method='heuristic' (default): the JVM-side marker-stopword expression
+    (:func:`lang_id`) — ~10 languages, zero Python, composes into any
+    plan.
+
+    method='model': plug in a REAL classifier (fastText, CLD3, a pyfunc
+    model...) as ``model_fn``, a batched callable mapping a
+    ``pandas.Series`` of document texts to a same-length ``pandas.Series``
+    of language codes. Runs via ``mapInPandas`` so the model is invoked
+    once per Arrow batch (not per row), loads per executor (import/init
+    inside ``model_fn`` or its closure), and the plan shape stays
+    scan -> one Python stage -> downstream JVM ops. The classifier
+    libraries themselves are not bundled here — this is the documented
+    plumbing seam, exercised by a deterministic fake model in tests
+    (tests/test_text_extra.py), same contract as multimodal's decoders.
+    """
+    if method == "heuristic":
+        return df.withColumn(out_col, lang_id(F.col(text_col)))
+    if method != "model":
+        raise ValueError(f"unknown language-id method {method!r}")
+    if model_fn is None:
+        raise ValueError(
+            f"method='model' needs model_fn ({batch_hint}); "
+            "pass e.g. a fastText predict wrapper"
+        )
+    import pandas as pd  # local: keep module import light
+
+    in_cols = df.columns
+    if out_col in in_cols:
+        raise ValueError(f"output column {out_col!r} already exists")
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{out_col}` string"]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            langs = model_fn(pdf[text_col])
+            yield pdf.assign(**{out_col: pd.Series(langs).astype(str).values})
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

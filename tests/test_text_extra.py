@@ -67,3 +67,53 @@ def test_remove_duplicate_lines(spark):
     out2 = {r["doc_id"]: r["text_deduped"]
             for r in remove_duplicate_lines(docs2, min_df=2).collect()}
     assert out2[1] == "twice\ntwice"
+
+
+def test_lang_id_broadened_markers(spark):
+    from htrc_feature_reader_spark.operators.text import lang_id
+
+    rows = [
+        (1, "il problema che questo sono di per della"),
+        (2, "você não são uma das também mais aqui"),
+        (3, "het een niet voor aan ook zijn hier"),
+        (4, "och att det som för inte är med"),
+        (5, "nie się jest czy dla tego jak przez"),
+        (6, "и в не на что это как вы"),
+        (7, "the cat and the dog with you"),
+        (8, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["lang"]
+           for r in df.select("id", lang_id("text").alias("lang")).collect()}
+    assert out == {1: "it", 2: "pt", 3: "nl", 4: "sv", 5: "pl",
+                   6: "ru", 7: "en", 8: "und"}
+
+
+def test_detect_language_model_hook(spark):
+    """The mapInPandas model seam: a deterministic fake classifier drops
+    in with the documented batched Series->Series contract; schema and
+    row alignment preserved; errors on bad usage."""
+    import pytest
+    from htrc_feature_reader_spark.operators.text import detect_language
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb"), (2, "ccc"), (3, "dd ee ff")],
+        "doc_id long, text string",
+    )
+
+    def fake_model(texts):
+        # deterministic 'model': even char counts -> xx, odd -> yy
+        return texts.str.len().map(lambda n: "xx" if n % 2 == 0 else "yy")
+
+    out = detect_language(docs, method="model", model_fn=fake_model)
+    assert out.columns == ["doc_id", "text", "lang"]
+    got = {r["doc_id"]: r["lang"] for r in out.collect()}
+    assert got == {1: "yy", 2: "yy", 3: "xx"}
+
+    # heuristic path unchanged and hook misuse fails loudly
+    heur = detect_language(docs)  # default heuristic
+    assert heur.filter("lang = 'und'").count() == 3
+    with pytest.raises(ValueError, match="model_fn"):
+        detect_language(docs, method="model")
+    with pytest.raises(ValueError, match="method"):
+        detect_language(docs, method="nope")
