@@ -264,14 +264,33 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop band buckets holding more than ``max_bucket`` members before a
+    banded self-join. A bucket of size B emits B^2 join rows, so one
+    degenerate bucket (empty-doc signatures, templated boilerplate that
+    survived the stop-shingle cap) can dominate the whole stage; capping
+    trades recall ONLY on members of such buckets for a hard quadratic
+    bound — the standard skew guard for web-scale LSH. One extra map-side-
+    combinable aggregate on the band table (already shuffled for the join).
+    """
+    sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bsz"))
+    ok = sizes.filter(F.col("__bsz") <= max_bucket).select(*keys)
+    return bands.join(ok, on=keys, how="left_semi")
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band bucket.
 
     Pairs are (id_a < id_b), distinct. The self-join is on (band, bucket) —
     cost is sum of bucket sizes squared, not corpus squared; stop-shingle
-    filtering upstream keeps buckets small.
+    filtering upstream keeps buckets small. ``max_bucket`` additionally
+    hard-bounds any single bucket's quadratic cost (see ``_cap_buckets``);
+    None (default) keeps exact banding semantics.
     """
     bands = signatures.select(
         "id",
@@ -282,6 +301,8 @@ def lsh_candidate_pairs(
             ])
         ).alias("band", "bucket"),
     )
+    if max_bucket is not None:
+        bands = _cap_buckets(bands, ["band", "bucket"], max_bucket)
     a = bands.select(F.col("id").alias("id_a"), "band", "bucket")
     b = bands.select(F.col("id").alias("id_b"), "band", "bucket")
     return (
@@ -413,6 +434,7 @@ def simhash_candidate_pairs(
     max_hamming: int | None = None,
     id_col: str = "id",
     sim_col: str = "simhash",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pair mining: bit-slice each fingerprint into
     ``n_bands`` contiguous bands; candidate pairs share >= 1 identical
@@ -429,7 +451,12 @@ def simhash_candidate_pairs(
     defaults (bits=48, n_bands=4 -> 12-bit bands) follow that rule for
     million-doc corpora; ``simhash`` supports bits up to 62 in one int64
     fingerprint. The 16-bit configs in tests/driver queries are
-    oracle-scale, not corpus-scale.
+    oracle-scale, not corpus-scale. ``max_bucket`` hard-bounds any one
+    band slice's quadratic cost (degenerate fingerprints — e.g. empty or
+    templated docs — all land in one slice): oversized buckets are
+    dropped before the self-join, costing recall only for their members.
+    With max_bucket set, the pigeonhole recall guarantee holds only for
+    pairs outside dropped buckets.
     """
     if bits % n_bands:
         raise ValueError("n_bands must divide bits evenly")
@@ -453,6 +480,8 @@ def simhash_candidate_pairs(
             ])
         ).alias("__band", "__slice"),
     )
+    if max_bucket is not None:
+        banded = _cap_buckets(banded, ["__band", "__slice"], max_bucket)
     a = banded.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"),
                       "__band", "__slice")
     b = banded.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"),

@@ -1,6 +1,7 @@
 """Structured Streaming faces of the batch temporal operators."""
 
 from .asof import stream_asof_join
+from .dedup import stream_exact_dedup
 from .sessionize import stream_session_counts, stream_windowed_rollup
 from .stateful import stream_forward_fill
 

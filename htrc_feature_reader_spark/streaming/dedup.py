@@ -1,0 +1,58 @@
+"""Streaming exact dedup: emit each distinct document once.
+
+The streaming face of ``operators/dedup.exact_duplicates`` for a
+continuously-ingested corpus: documents are keyed by their content digest
+(md5 of the text, optionally whitespace/case-normalized — the same
+``content_digest`` expression as the batch operator) and only the FIRST
+arrival of each digest is emitted downstream.
+
+Two state regimes, both one shuffle (the digest hash):
+
+- unbounded (``watermark=None``): ``dropDuplicates`` on the digest —
+  state holds one row per distinct digest forever. Right for bounded
+  replays and moderate cardinalities; at 100 TB the digest-set state is
+  ~#distinct-docs x ~80 bytes sharded across executors (RocksDB state
+  store on a real cluster).
+- watermarked: ``dropDuplicatesWithinWatermark`` — duplicates are only
+  suppressed while their first arrival is within the watermark horizon,
+  and state ages out with the event-time watermark. Right for unbounded
+  streams where re-crawls cluster in time (the common web-crawl shape);
+  a duplicate arriving later than the horizon is re-emitted (documented
+  relaxation — downstream batch dedup catches stragglers).
+
+Batch-equivalence (minus the horizon relaxation) is tested against
+``exact_duplicates`` in tests/test_streaming_dedup.py, including state
+carried across micro-batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import content_digest
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    normalize: bool = False,
+    watermark: str | None = None,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """First-arrival-wins streaming dedup on the content digest.
+
+    ``watermark`` (e.g. ``"1 hour"``) bounds state via
+    ``dropDuplicatesWithinWatermark`` and requires ``ts_col`` (the event-
+    time column the watermark rides on). Returns the input columns plus
+    ``digest_col`` (kept — downstream sinks can dedup-join on it).
+    """
+    out = docs.withColumn(digest_col, content_digest(text_col, normalize))
+    if watermark is None:
+        return out.dropDuplicates([digest_col])
+    if ts_col is None:
+        raise ValueError("watermarked dedup needs ts_col for the event time")
+    return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [digest_col]
+    )
