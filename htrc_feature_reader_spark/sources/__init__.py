@@ -8,4 +8,5 @@ from .ef_json import (  # noqa: F401
     volumes_from_ef,
 )
 from .parquet_quad import read_quad, write_quad  # noqa: F401
+from .ziptree import read_ef_ziptree, write_ef_ziptree  # noqa: F401
 from . import ids  # noqa: F401

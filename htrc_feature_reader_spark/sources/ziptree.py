@@ -1,0 +1,155 @@
+"""Distributed ziptree source/sink (reference resolvers.py:257-320).
+
+A 'ziptree' is the reference's zip-sharded volume store: volume ``htid``
+lives in ``<dir>/<sha1(htid)[:k]>.zip`` as member
+``clean_htid(htid).json[.bz2|.gz]``. The reference populates and reads it
+one volume at a time through ``ZiptreeResolver``; here both directions are
+Spark jobs:
+
+- **read**: ``spark.read.format("binaryFile")`` fans the zip shards across
+  executors; a ``mapInPandas`` stage opens each shard IN MEMORY (zipfiles
+  are not splittable — the shard, ~sha1-uniform by construction, is the
+  parallel unit) and yields one JSON text per member, decompressed by
+  member extension; ``from_json`` with the explicit EF schema turns the
+  payloads into exactly the ``read_ef_json`` shape, so every downstream
+  extractor (tokenlist/sections/metadata/...) composes unchanged.
+- **write**: volumes are grouped by their sha1 shard code (one shuffle)
+  and ``applyInPandas`` writes each ``<code>.zip`` in a single task —
+  embarrassingly parallel across shards, append-free (each shard written
+  once per job), deterministic member names via the reference's filename
+  rule.
+
+HTTP/rsync remain non-goals (environment tooling); the ziptree itself is
+pure path math + container format, i.e. engine semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EF_JSON_SCHEMA
+from .ids import resolver_filename
+
+
+def _decompress_member(name: str, payload: bytes) -> str:
+    if name.endswith(".bz2"):
+        import bz2
+
+        return bz2.decompress(payload).decode("utf-8")
+    if name.endswith(".gz"):
+        import gzip
+
+        return gzip.decompress(payload).decode("utf-8")
+    return payload.decode("utf-8")
+
+
+def read_ef_ziptree(
+    spark: SparkSession,
+    zip_glob: str,
+    member_pattern: str | None = None,
+) -> DataFrame:
+    """Read every EF volume JSON inside the ziptree's zip shards.
+
+    Returns the ``read_ef_json`` shape (EF schema top level + coalesced
+    ``htid``) so all extractors compose. ``member_pattern`` optionally
+    restricts members by a substring match on the member name (e.g. one
+    cleaned htid) — the filter runs inside the scan task, before any
+    decompression of non-matching members.
+    """
+    shards = spark.read.format("binaryFile").load(zip_glob)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import zipfile
+
+        for pdf in batches:
+            out = {"member": [], "js": []}
+            for content in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
+                    for name in zf.namelist():
+                        if member_pattern is not None and member_pattern not in name:
+                            continue
+                        out["member"].append(name)
+                        out["js"].append(_decompress_member(name, zf.read(name)))
+            yield pd.DataFrame(out)
+
+    texts = shards.select("content").mapInPandas(
+        extract, schema="member string, js string"
+    )
+    raw = texts.select(F.from_json("js", EF_JSON_SCHEMA).alias("r")).select("r.*")
+    return raw.withColumn("htid", F.coalesce(F.col("htid"), F.col("id")))
+
+
+def write_ef_ziptree(
+    docs: DataFrame,
+    dest_dir: str,
+    htid_col: str = "htid",
+    json_col: str = "json",
+    compression: str | None = "bz2",
+    hash_chars: int = 3,
+) -> DataFrame:
+    """Populate a ziptree from (htid, json-text) rows, distributed.
+
+    One shuffle groups volumes by their sha1 shard code; each shard's zip
+    is written by exactly one task (atomic tmp+rename publish, re-run
+    idempotent). Returns a lineage DataFrame (zipfile, n_members,
+    n_bytes); the write runs when it is materialized.
+    """
+    if compression not in (None, "bz2", "gz"):
+        raise ValueError(f"unknown compression {compression!r}")
+    os.makedirs(dest_dir, exist_ok=True)
+
+    # shard code JVM-side: sha1 is a built-in (no Python in the plan);
+    # parity with ids.ziptree_zipfile is pinned by test
+    if hash_chars == 0:
+        zip_expr = F.lit("features.zip")
+    else:
+        zip_expr = F.concat(
+            F.substring(F.sha1(F.col(htid_col).cast("binary")), 1, hash_chars),
+            F.lit(".zip"),
+        )
+    tagged = docs.select(
+        F.col(htid_col).alias("__htid"),
+        F.col(json_col).alias("__js"),
+        zip_expr.alias("__zip"),
+    )
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import zipfile
+
+        zname = pdf["__zip"].iloc[0]
+        dest = os.path.join(dest_dir, zname)
+        tmp = dest + f".__tmp_{os.getpid()}"
+        n_bytes = 0
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
+            # deterministic member order -> byte-stable shards
+            for h, js in sorted(zip(pdf["__htid"], pdf["__js"])):
+                member = resolver_filename(h, "json", compression)
+                payload = js.encode("utf-8")
+                if compression == "bz2":
+                    import bz2
+
+                    payload = bz2.compress(payload)
+                elif compression == "gz":
+                    import gzip
+                    import io
+
+                    buf = io.BytesIO()
+                    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                        g.write(payload)
+                    payload = buf.getvalue()
+                zf.writestr(zipfile.ZipInfo(member), payload)
+                n_bytes += len(payload)
+        os.replace(tmp, dest)
+        return pd.DataFrame(
+            {"zipfile": [dest], "n_members": [len(pdf)], "n_bytes": [n_bytes]}
+        )
+
+    return tagged.groupBy("__zip").applyInPandas(
+        write_shard, schema="zipfile string, n_members long, n_bytes long"
+    )

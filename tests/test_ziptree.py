@@ -1,0 +1,91 @@
+"""Ziptree source/sink (reference resolvers.py:257-320): sha1-sharded zip
+store written and read as Spark jobs, round-tripping through the same EF
+ingest shape as plain JSON files."""
+
+import bz2
+import hashlib
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from htrc_feature_reader_spark.sources.ef_json import read_ef_json, tokenlist_from_ef
+from htrc_feature_reader_spark.sources.ids import (
+    clean_htid,
+    resolver_filename,
+    ziptree_zipfile,
+)
+from htrc_feature_reader_spark.sources.ziptree import (
+    read_ef_ziptree,
+    write_ef_ziptree,
+)
+
+DATA = "/root/reference/tests/data"
+FIXTURE = f"{DATA}/frankenstein-15pages.json.bz2"
+
+
+def test_ziptree_path_math_matches_reference_rule():
+    """resolvers.py:270-277: sha1 prefix names the shard; fname rule
+    resolvers.py:51-63 (parquet drops compression)."""
+    h = "mdp.39015028036104"
+    code = hashlib.sha1(h.encode()).hexdigest()[:3]
+    assert ziptree_zipfile(h) == f"{code}.zip"
+    assert ziptree_zipfile(h, hash_chars=5) == \
+        hashlib.sha1(h.encode()).hexdigest()[:5] + ".zip"
+    assert ziptree_zipfile(h, hash_chars=0) == "features.zip"
+    assert resolver_filename(h) == clean_htid(h) + ".json.bz2"
+    assert resolver_filename(h, "json", None) == clean_htid(h) + ".json"
+    assert resolver_filename(h, "parquet", "bz2") == clean_htid(h) + ".parquet"
+    assert resolver_filename(h, "json", "gz", suffix="meta") == \
+        clean_htid(h) + ".meta.json.gz"
+
+
+@pytest.mark.skipif(not os.path.isfile(FIXTURE), reason="reference fixtures absent")
+def test_ziptree_write_read_roundtrip(spark, tmp_path):
+    """write_ef_ziptree -> read_ef_ziptree reproduces the exact tokenlist
+    of reading the raw JSON; shard naming matches the JVM-side sha1 and
+    the reference rule; shard write is idempotent."""
+    with open(FIXTURE, "rb") as f:
+        js = bz2.decompress(f.read()).decode("utf-8")
+    raw = read_ef_json(spark, FIXTURE, multiline=True)
+    htid = raw.select("htid").first()["htid"]
+
+    docs = spark.createDataFrame([(htid, js), (htid + "X99", js)],
+                                 "htid string, json string")
+    dest = str(tmp_path / "ztree")
+    metrics = write_ef_ziptree(docs, dest).collect()
+    assert sum(m["n_members"] for m in metrics) == 2
+    # shard names follow the sha1 rule and members the filename rule
+    for h in (htid, htid + "X99"):
+        zpath = os.path.join(dest, ziptree_zipfile(h))
+        assert os.path.isfile(zpath)
+        with zipfile.ZipFile(zpath) as zf:
+            assert resolver_filename(h) in zf.namelist()
+
+    back = read_ef_ziptree(spark, f"{dest}/*.zip")
+    assert back.count() == 2
+    a = sorted(map(tuple, tokenlist_from_ef(raw).collect()))
+    b = sorted(map(tuple, tokenlist_from_ef(
+        read_ef_ziptree(spark, f"{dest}/*.zip",
+                        member_pattern=resolver_filename(htid))
+    ).collect()))
+    assert a == b and len(a) > 0
+
+    # idempotent re-run: same shards, same member sets
+    write_ef_ziptree(docs, dest).collect()
+    with zipfile.ZipFile(os.path.join(dest, ziptree_zipfile(htid))) as zf:
+        assert len(zf.namelist()) == len(set(zf.namelist()))
+
+
+@pytest.mark.skipif(not os.path.isfile(FIXTURE), reason="reference fixtures absent")
+def test_ziptree_gz_and_plain_members(spark, tmp_path):
+    with open(FIXTURE, "rb") as f:
+        js = bz2.decompress(f.read()).decode("utf-8")
+    docs = spark.createDataFrame([("test.vol1", js)], "htid string, json string")
+    for comp in ("gz", None):
+        dest = str(tmp_path / f"z_{comp}")
+        write_ef_ziptree(docs, dest, compression=comp).collect()
+        back = read_ef_ziptree(spark, f"{dest}/*.zip")
+        assert back.select("htid").first()["htid"] is not None
+        assert tokenlist_from_ef(back).count() > 0
