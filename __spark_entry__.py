@@ -609,19 +609,15 @@ def q_dedup_clusters(spark, sf_dir):
     The oracle replays the identical pair set and resolves components by
     recursive reachability + min."""
     from htrc_feature_reader_spark.operators.components import connected_components
-    from htrc_feature_reader_spark.operators.dedup import (
-        verify_pairs_by_signature,
-        word_shingle_ids,
-    )
+    from htrc_feature_reader_spark.operators.dedup import word_shingle_ids
 
     docs = _t(spark, sf_dir, "documents")
     ds = word_shingle_ids(docs, "text", "doc_id", n=3)
     ds = remove_stop_shingles(ds, max_df_frac=0.5, shingle_col="shingle_id",
                               assume_distinct=True)
     sigs = minhash_signatures(ds, n_hashes=_MH_N, seed=_MH_SEED)
-    pairs = lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2)
-    ver = verify_pairs_by_signature(pairs, sigs, threshold=0.25,
-                                    keep_estimate=False)
+    ver = lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2,
+                              verify_threshold=0.25)
     cc = connected_components(ver)
     return cc.select(F.col("id").alias("doc_id"), "component")
 

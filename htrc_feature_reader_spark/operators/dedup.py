@@ -283,6 +283,7 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     rows_per_band: int = 2,
     max_bucket: int | None = None,
+    verify_threshold: float | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band bucket.
 
@@ -291,9 +292,19 @@ def lsh_candidate_pairs(
     filtering upstream keeps buckets small. ``max_bucket`` additionally
     hard-bounds any single bucket's quadratic cost (see ``_cap_buckets``);
     None (default) keeps exact banding semantics.
+
+    ``verify_threshold`` FUSES signature verification into the miner: the
+    self-join already carries both sides' full signatures, so the
+    estimated Jaccard (fraction of agreeing positions — see
+    ``verify_pairs_by_signature``) is one zip_with on the joined row,
+    filtered BEFORE the distinct's shuffle. Zero extra joins and no
+    re-evaluation of the signature subplan — the standalone verifier
+    costs two key joins against ``signatures`` (re-running MinHash when
+    the plan isn't materialized); use it only for pairs from elsewhere.
     """
     bands = signatures.select(
         "id",
+        "sig",
         F.posexplode(
             F.array(*[
                 F.slice("sig", b * rows_per_band + 1, rows_per_band)
@@ -303,14 +314,24 @@ def lsh_candidate_pairs(
     )
     if max_bucket is not None:
         bands = _cap_buckets(bands, ["band", "bucket"], max_bucket)
-    a = bands.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = bands.select(F.col("id").alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    carry_a = ["sig"] if verify_threshold is not None else []
+    a = bands.select(F.col("id").alias("id_a"),
+                     *[F.col(c).alias("__sig_a") for c in carry_a],
+                     "band", "bucket")
+    b = bands.select(F.col("id").alias("id_b"),
+                     *[F.col(c).alias("__sig_b") for c in carry_a],
+                     "band", "bucket")
+    joined = a.join(b, on=["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    if verify_threshold is not None:
+        matches = F.aggregate(
+            F.zip_with("__sig_a", "__sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        joined = joined.filter(
+            matches / F.size("__sig_a") >= verify_threshold
+        )
+    return joined.select("id_a", "id_b").distinct()
 
 
 def verify_pairs_by_signature(

@@ -36,7 +36,6 @@ from .dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     remove_stop_shingles,
-    verify_pairs_by_signature,
     word_shingle_ids,
 )
 from .text import bpe_ish_token_count, lang_id, quality_features
@@ -114,15 +113,14 @@ def clean_corpus(
             assume_distinct=True,
         )
         sigs = minhash_signatures(sh, n_hashes=cfg.minhash_hashes)
+        # never drop on bare candidacy: the signature-estimated Jaccard must
+        # clear the threshold. Verification is FUSED into the band self-join
+        # (the joined row already carries both signatures) — zero extra
+        # joins, no re-evaluation of the MinHash subplan.
         pairs = lsh_candidate_pairs(
-            sigs, n_bands=cfg.lsh_bands, rows_per_band=cfg.lsh_rows
+            sigs, n_bands=cfg.lsh_bands, rows_per_band=cfg.lsh_rows,
+            verify_threshold=cfg.near_dup_threshold,
         )
-        if cfg.near_dup_threshold is not None:
-            # never drop on bare candidacy: require the signature-estimated
-            # Jaccard to clear the threshold (lazy, reuses the signatures)
-            pairs = verify_pairs_by_signature(
-                pairs, sigs, cfg.near_dup_threshold, keep_estimate=False
-            )
         if cfg.survivorship == "clusters":
             comp = connected_components(pairs)
             drop = comp.filter(F.col("id") != F.col("component")).select(
