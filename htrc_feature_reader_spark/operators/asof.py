@@ -98,12 +98,18 @@ def _salted_adaptive(
             ).cast("int"),
         ).alias("__n_salt"),
     )
+    # LEFT join + coalesce-to-1: an inner join would silently DROP probe
+    # rows with null keys (null never equi-matches, even against the dim's
+    # own null-key count row). Null-key rows on both sides coalesce to a
+    # single bucket (n_salt=1, salt=0), matching unsalted window semantics
+    # where nulls group together.
     p = (
-        probe.join(dim, on=keys)
+        probe.join(dim, on=keys, how="left")
         .withColumn(
             "__salt",
             F.pmod(
-                F.xxhash64(*[F.col(c) for c in probe.columns]), F.col("__n_salt")
+                F.xxhash64(*[F.col(c) for c in probe.columns]),
+                F.coalesce(F.col("__n_salt"), F.lit(1)),
             ).cast("int"),
         )
         .select(*probe.columns, "__salt")  # keep the caller's column order

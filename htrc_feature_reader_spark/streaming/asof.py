@@ -140,18 +140,26 @@ def stream_asof_join(
                     last_ts = tss[i]
                     last_vals = [vals[c][i] for c in value_cols]
                     continue
-                cand_ts, cand_vals = last_ts, last_vals
-                if not allow_exact_matches and cand_ts == tss[i]:
+                # ONE admissibility rule covers both the exact-match
+                # exclusion and the PIT guard for probes arriving LATE
+                # across micro-batches (ts < state's last_ts): a candidate
+                # must be <= the probe ts (strictly < when
+                # allow_exact_matches=False), else it is temporal leakage
+                # — and the (unsigned) tolerance check would wave the
+                # negative delta through. Chaining the two rules as
+                # separate fallbacks was wrong: last_ts failing the exact
+                # rule could fall back to a prev_ts that itself equals the
+                # probe ts. prev_ts <= last_ts always (late builds are
+                # dropped above), so last-then-prev picks the most recent
+                # admissible row.
+                def _ok(t, pts=tss[i]):
+                    return t is not None and (t <= pts if allow_exact_matches else t < pts)
+
+                if _ok(last_ts):
+                    cand_ts, cand_vals = last_ts, last_vals
+                elif _ok(prev_ts):
                     cand_ts, cand_vals = prev_ts, prev_vals
-                # PIT guard: a probe arriving LATE across micro-batches
-                # (ts < state's last_ts) must never be enriched with a
-                # build value from after its timestamp — that is temporal
-                # leakage, and the (unsigned) tolerance check would wave
-                # the negative delta through. Fall back to the strictly-
-                # earlier state row; if that is also in the future, miss.
-                if cand_ts is not None and cand_ts > tss[i]:
-                    cand_ts, cand_vals = prev_ts, prev_vals
-                if cand_ts is not None and cand_ts > tss[i]:
+                else:
                     cand_ts, cand_vals = None, [None] * n_vals
                 hit = cand_ts is not None and (
                     tolerance_s is None

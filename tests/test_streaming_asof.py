@@ -323,3 +323,46 @@ def test_stream_asof_state_survives_checkpoint_restart(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert got == {("a", _mins(1)): 7.0, ("a", _mins(2)): 7.0}
+
+
+def test_stream_asof_late_probe_exact_ts_excluded(spark, tmp_path):
+    """allow_exact_matches=False + a late probe whose ts EQUALS the state's
+    strictly-earlier (prev) row: the prev fallback must also honor the
+    exact-match exclusion. Chained fallbacks used to leak here — last_ts
+    failed the exact rule, the PIT guard then substituted a prev row that
+    itself sat exactly at the probe ts."""
+    build = spark.createDataFrame(
+        [("a", _mins(5), 1.0), ("a", _mins(10), 2.0)],
+        "key string, ts timestamp, price double",
+    )
+    probe1 = spark.createDataFrame(
+        [("a", _mins(11), 1)], "key string, ts timestamp, qty long"
+    )
+    bpath, ppath = str(tmp_path / "build"), str(tmp_path / "probe")
+    build.coalesce(1).write.parquet(bpath)
+    probe1.coalesce(1).write.parquet(ppath)
+    bs = spark.readStream.schema(build.schema).parquet(bpath)
+    ps = spark.readStream.schema(probe1.schema).parquet(ppath)
+
+    out = stream_asof_join(ps, bs, on="key", ts="ts", allow_exact_matches=False)
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("asof_exact_late").start()
+    )
+    try:
+        q.processAllAvailable()  # state: last=(10, 2.0), prev=(5, 1.0)
+        spark.createDataFrame(
+            [("a", _mins(5), 2),   # == prev ts: must null-fill, not serve 1.0
+             ("a", _mins(7), 3)],  # prev (t=5) is strictly earlier: serves 1.0
+            "key string, ts timestamp, qty long",
+        ).coalesce(1).write.mode("append").parquet(ppath)
+        q.processAllAvailable()
+        got = {
+            (r["key"], r["ts"]): r["price"]
+            for r in spark.sql("select * from asof_exact_late").collect()
+        }
+    finally:
+        q.stop()
+    assert got[("a", _mins(11))] == 2.0  # in-order: strictly-earlier newest
+    assert got[("a", _mins(5))] is None  # exact-ts prev excluded
+    assert got[("a", _mins(7))] == 1.0   # strictly-earlier prev served

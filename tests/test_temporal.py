@@ -221,3 +221,26 @@ def test_auto_salt_mixed_keys_match_unsalted(spark):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_auto_salt_null_keys_match_unsalted(spark):
+    """Probe/build rows with NULL join keys must survive salt='auto': the
+    salt dimension attaches via a LEFT join (an inner join silently drops
+    null-key probe rows — nulls never equi-match), and null-key rows on
+    both sides coalesce into one bucket so they still pair up exactly as
+    the unsalted window (which groups nulls together) would."""
+    probe = spark.createDataFrame(
+        [("a", ts(1)), (None, ts(1)), (None, ts(5))],
+        "key string, ts timestamp",
+    )
+    build = spark.createDataFrame(
+        [("a", ts(0), 1.0), (None, ts(0), 7.0), (None, ts(4), 8.0)],
+        "key string, ts timestamp, v double",
+    )
+    a = asof_join(probe, build, on="key", ts="ts", salt="auto").toPandas()
+    b = asof_join(probe, build, on="key", ts="ts").toPandas()
+    srt = ["key", "ts"]
+    a = a.sort_values(srt, na_position="first").reset_index(drop=True)
+    b = b.sort_values(srt, na_position="first").reset_index(drop=True)
+    assert len(a) == 3, "salt='auto' dropped null-key probe rows"
+    pd.testing.assert_frame_equal(a, b)
