@@ -272,8 +272,6 @@ def chunked_tokenlist(
     keys = [*regroup, "chunk"] + (["pstart", "pend"] if page_ref else [])
     out = with_chunks.groupBy(*keys).agg(F.sum("count").alias("count"))
     if page_ref:
-        # column order parity with the two-join formulation (…, count, pstart, pend)
-        out = out.select(*regroup, "chunk",
-                         *[c for c in out.columns if c not in (*regroup, "chunk", "pstart", "pend")],
-                         "pstart", "pend")
+        # column order parity with the two-join formulation
+        out = out.select(*regroup, "chunk", "count", "pstart", "pend")
     return out

@@ -61,6 +61,16 @@ def _edge_sig(e: DataFrame):
     return row["n"], row["h"]
 
 
+def _edges_equal(e2: DataFrame, e: DataFrame) -> bool:
+    """Exact set equality for two DISTINCT edge sets of equal cardinality:
+    e2 \\ e empty <=> e2 == e. Sound where the checksum alone is not — a
+    (count, hash-sum) collision between different sets would otherwise
+    terminate the star iteration early and silently emit split
+    components. Runs only when the cheap signature already matches, so
+    the anti-join fires once per call in the non-adversarial case."""
+    return e2.join(e, on=["u", "v"], how="left_anti").limit(1).count() == 0
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -90,9 +100,12 @@ def connected_components(
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         sig2 = _edge_sig(e2)
-        e = e2
-        if sig2 == sig:
+        # signature match is a cheap candidate test; confirm with the
+        # exact anti-join before declaring the star forest reached
+        if sig2 == sig and _edges_equal(e2, e):
+            e = e2
             break  # star forest reached: every edge is (member, root)
+        e = e2
         sig = sig2
     else:
         raise RuntimeError(

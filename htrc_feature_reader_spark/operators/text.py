@@ -85,6 +85,10 @@ def detect_language(
     plumbing seam, exercised by a deterministic fake model in tests
     (tests/test_text_extra.py), same contract as multimodal's decoders.
     """
+    # same contract on BOTH paths: withColumn would silently overwrite an
+    # existing column (e.g. a stored ground-truth `lang`)
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
     if method == "heuristic":
         return df.withColumn(out_col, lang_id(F.col(text_col)))
     if method != "model":
@@ -95,10 +99,6 @@ def detect_language(
             "pass e.g. a fastText predict wrapper"
         )
     import pandas as pd  # local: keep module import light
-
-    in_cols = df.columns
-    if out_col in in_cols:
-        raise ValueError(f"output column {out_col!r} already exists")
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"`{out_col}` string"]

@@ -87,12 +87,16 @@ def copy_volumes(
     already in ``dest_dir`` from earlier ``copy_volumes`` runs: every task
     appends (dest name -> source path) provenance records to
     ``dest_dir/.copy_manifest/``, and a new run hash-prefixes any dest
-    name that exists with DIFFERENT provenance (recorded other source, or
-    present on disk with no record at all) — re-running the same copy
+    name recorded under a DIFFERENT source — re-running the same copy
     stays idempotent (same source -> same name -> clean overwrite), while
-    a different source can never silently clobber a prior copy. The
-    provenance check is Spark-side joins; only actual conflicts are ever
-    collected to the driver.
+    a different source can never silently clobber a prior copy. A dest
+    name present on disk with no record at all (e.g. published by a run
+    that crashed before its manifest shard landed) is byte-compared in the
+    copying task: identical content republishes under the plain name and
+    records the missing provenance (self-healing, no duplicate minted);
+    different content gets the hash prefix. Provenance and existing-name
+    checks are Spark-side (distributed dest listing, content pruned);
+    only actual conflicts are ever collected to the driver.
     Requires ``dest_dir`` to be a task-writable shared filesystem — true
     for local mode and for clusters mounting a shared store.
     """
@@ -145,17 +149,27 @@ def copy_volumes(
         .filter(F.col("src") != F.col("__rec_src"))
         .select("b").distinct()
     )
-    existing = [
-        e for e in (os.listdir(dest_dir) if os.path.isdir(dest_dir) else [])
-        if e != ".copy_manifest"
-    ]
-    on_disk = spark.createDataFrame([(e,) for e in existing] or [], "b string")
+    # Existing dest names via a DISTRIBUTED metadata listing (binaryFile
+    # with only `path` selected prunes the content column; Spark's hidden-
+    # file rule skips .copy_manifest) — an os.listdir + createDataFrame
+    # here would stall the driver on a dest_dir holding millions of
+    # volumes. Parallel partition discovery kicks in above the listing
+    # threshold, so the driver never holds the full name list.
+    on_disk = (
+        spark.read.format("binaryFile").load(dest_dir)
+        .select(F.element_at(F.split("path", "/"), -1).alias("b"))
+    )
     foreign = (
         planned.join(on_disk, on="b", how="left_semi")
         .join(man.select("b"), on="b", how="left_anti")
         .select("b").distinct()
     )
-    dupe_bases |= {r["b"] for r in recorded_other.unionByName(foreign).collect()}
+    dupe_bases |= {r["b"] for r in recorded_other.collect()}
+    # Unrecorded (foreign) collisions are resolved IN THE TASK by content
+    # compare, not prefixed eagerly: a byte-identical existing file is this
+    # very copy published before a crash killed its manifest write — prefix
+    # it and every re-run would mint another duplicate of the same volume.
+    foreign_bases = {r["b"] for r in foreign.collect()} - dupe_bases
 
     def copy_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
@@ -181,16 +195,35 @@ def copy_volumes(
 
                     final_base = (re.sub(r"\.(bz2|gz)$", "", base)
                                   + _CODEC_EXT[compression])
-                if final_base in dupe_bases:
-                    import hashlib
-
-                    h8 = hashlib.sha1(local.encode()).hexdigest()[:8]
-                    final_base = f"{h8}.{final_base}"
                 skip = dst_codec == src_codec
                 if skip:
                     payload = bytes(content)
                 else:
                     payload = _encode(_decode(bytes(content), src_codec), dst_codec)
+                if final_base in dupe_bases:
+                    import hashlib
+
+                    h8 = hashlib.sha1(local.encode()).hexdigest()[:8]
+                    final_base = f"{h8}.{final_base}"
+                elif final_base in foreign_bases:
+                    # unrecorded existing file: byte-identical -> same copy
+                    # from a crashed run (manifest write never landed) ->
+                    # republish under the plain name, which also records
+                    # the provenance and heals future runs; different
+                    # bytes -> a genuinely foreign file, never clobbered
+                    existing_path = os.path.join(dest_dir, final_base)
+                    same = False
+                    try:
+                        if os.path.getsize(existing_path) == len(payload):
+                            with open(existing_path, "rb") as ef:
+                                same = ef.read() == payload
+                    except OSError:
+                        pass  # vanished between listing and copy: plain name
+                    if not same and os.path.exists(existing_path):
+                        import hashlib
+
+                        h8 = hashlib.sha1(local.encode()).hexdigest()[:8]
+                        final_base = f"{h8}.{final_base}"
                 dest = os.path.join(dest_dir, final_base)
                 tmp = dest + f".__tmp_{os.getpid()}"
                 with open(tmp, "wb") as f:

@@ -97,8 +97,15 @@ def write_ef_ziptree(
 
     One shuffle groups volumes by their sha1 shard code; each shard's zip
     is written by exactly one task (atomic tmp+rename publish, re-run
-    idempotent). Returns a lineage DataFrame (zipfile, n_members,
-    n_bytes); the write runs when it is materialized.
+    idempotent). Incremental populate is safe across jobs: a shard that
+    already exists is MERGED, not replaced — existing members are carried
+    into the rewritten zip and only same-name members (same cleaned htid)
+    are overwritten, mirroring the reference resolver's one-volume-at-a-
+    time appends (resolvers.py:257-320). Within one job the groupBy
+    guarantees a single writer per shard, so read-merge-replace is
+    race-free. Returns a lineage DataFrame (zipfile, n_members, n_bytes)
+    describing the resulting shards; the write runs when it is
+    materialized.
     """
     if compression not in (None, "bz2", "gz"):
         raise ValueError(f"unknown compression {compression!r}")
@@ -125,29 +132,45 @@ def write_ef_ziptree(
         zname = pdf["__zip"].iloc[0]
         dest = os.path.join(dest_dir, zname)
         tmp = dest + f".__tmp_{os.getpid()}"
+        new: dict[str, bytes] = {}
+        for h, js in zip(pdf["__htid"], pdf["__js"]):
+            member = resolver_filename(h, "json", compression)
+            payload = js.encode("utf-8")
+            if compression == "bz2":
+                import bz2
+
+                payload = bz2.compress(payload)
+            elif compression == "gz":
+                import gzip
+                import io
+
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                    g.write(payload)
+                payload = buf.getvalue()
+            new[member] = payload
+        # MERGE with a pre-existing shard: a 'w'-mode rewrite would delete
+        # every prior member that hashed into this shard (incremental
+        # populate across jobs would silently lose volumes). Carry old
+        # members verbatim; same-name new members win. Shard size is
+        # bounded by the sha1 sharding, so holding one shard in memory is
+        # the same cost the read path already pays.
+        carried: dict[str, bytes] = {}
+        if os.path.exists(dest):
+            with zipfile.ZipFile(dest) as old:
+                for name in old.namelist():
+                    if name not in new:
+                        carried[name] = old.read(name)
         n_bytes = 0
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
             # deterministic member order -> byte-stable shards
-            for h, js in sorted(zip(pdf["__htid"], pdf["__js"])):
-                member = resolver_filename(h, "json", compression)
-                payload = js.encode("utf-8")
-                if compression == "bz2":
-                    import bz2
-
-                    payload = bz2.compress(payload)
-                elif compression == "gz":
-                    import gzip
-                    import io
-
-                    buf = io.BytesIO()
-                    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
-                        g.write(payload)
-                    payload = buf.getvalue()
-                zf.writestr(zipfile.ZipInfo(member), payload)
-                n_bytes += len(payload)
+            merged = {**carried, **new}
+            for member in sorted(merged):
+                zf.writestr(zipfile.ZipInfo(member), merged[member])
+                n_bytes += len(merged[member])
         os.replace(tmp, dest)
         return pd.DataFrame(
-            {"zipfile": [dest], "n_members": [len(pdf)], "n_bytes": [n_bytes]}
+            {"zipfile": [dest], "n_members": [len(merged)], "n_bytes": [n_bytes]}
         )
 
     return tagged.groupBy("__zip").applyInPandas(

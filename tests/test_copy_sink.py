@@ -134,3 +134,30 @@ def test_transcode_dest_collision_disambiguated(spark, tmp_path):
         with open(r["dest"], "rb") as f:
             contents.add(gzip.decompress(f.read()))
     assert contents == {b'{"htid": "plain"}', b'{"htid": "gz"}'}
+
+
+def test_crash_window_heals_instead_of_duplicating(spark, tmp_path):
+    """A file published by a run that crashed BEFORE its manifest shard
+    landed (on disk, byte-identical, no provenance record) must be
+    re-adopted under its plain name on the next run — not treated as
+    foreign and hash-prefixed, which would mint a duplicate copy of the
+    same volume on every retry."""
+    src = tmp_path / "a" / "vol.json"
+    src.parent.mkdir()
+    src.write_bytes(b'{"who": "crashed"}')
+    dest = str(tmp_path / "copies")
+    os.makedirs(dest)
+    # simulate the crash window: the copy landed, the manifest didn't
+    with open(os.path.join(dest, "vol.json"), "wb") as f:
+        f.write(b'{"who": "crashed"}')
+
+    rec = copy_volumes(spark, str(src), dest).collect()[0]
+    assert os.path.basename(rec["dest"]) == "vol.json"  # no prefix
+    assert _dest_files(dest) == ["vol.json"]            # no duplicate
+    # provenance healed: a different source now collides properly
+    src2 = tmp_path / "b" / "vol.json"
+    src2.parent.mkdir()
+    src2.write_bytes(b'{"who": "other"}')
+    rec2 = copy_volumes(spark, str(src2), dest).collect()[0]
+    assert os.path.basename(rec2["dest"]).endswith(".vol.json")
+    assert os.path.basename(rec2["dest"]) != "vol.json"

@@ -89,3 +89,38 @@ def test_ziptree_gz_and_plain_members(spark, tmp_path):
         back = read_ef_ziptree(spark, f"{dest}/*.zip")
         assert back.select("htid").first()["htid"] is not None
         assert tokenlist_from_ef(back).count() > 0
+
+@pytest.mark.skipif(not os.path.isfile(FIXTURE), reason="reference fixtures absent")
+def test_ziptree_incremental_populate_merges_shards(spark, tmp_path):
+    """A second write_ef_ziptree job over NEW volumes must merge into
+    existing shards, not replace them: 'w'-mode rewrites used to delete
+    every batch-1 member whose sha1 prefix collided with a batch-2 shard.
+    Same-htid rewrites still overwrite their member (update-in-place)."""
+    with open(FIXTURE, "rb") as f:
+        js = bz2.decompress(f.read()).decode("utf-8")
+    dest = str(tmp_path / "ztree")
+    # hash_chars=0 -> ONE shard (features.zip): every cross-batch write
+    # collides, the worst case for the old clobbering behavior
+    b1 = spark.createDataFrame([("vol.a", js), ("vol.b", js)],
+                               "htid string, json string")
+    write_ef_ziptree(b1, dest, hash_chars=0).collect()
+    b2 = spark.createDataFrame([("vol.c", js)], "htid string, json string")
+    metrics = write_ef_ziptree(b2, dest, hash_chars=0).collect()
+    assert metrics[0]["n_members"] == 3  # lineage reports the merged shard
+    with zipfile.ZipFile(os.path.join(dest, "features.zip")) as zf:
+        assert sorted(zf.namelist()) == sorted(
+            resolver_filename(h) for h in ("vol.a", "vol.b", "vol.c")
+        )
+    assert read_ef_ziptree(spark, f"{dest}/*.zip").count() == 3
+
+    # same-htid re-write overwrites the member, not duplicates it
+    js2 = js.replace('"title"', '"titleX"', 1)
+    write_ef_ziptree(
+        spark.createDataFrame([("vol.b", js2)], "htid string, json string"),
+        dest, hash_chars=0,
+    ).collect()
+    with zipfile.ZipFile(os.path.join(dest, "features.zip")) as zf:
+        names = zf.namelist()
+        assert len(names) == 3 and len(set(names)) == 3
+        got = bz2.decompress(zf.read(resolver_filename("vol.b"))).decode("utf-8")
+    assert got == js2
