@@ -826,6 +826,112 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+# pack_sequences driver config: a stand-in tokenizer (first-char code * 31
+# + word length — pure integer arithmetic the oracle replays verbatim),
+# EOS=1, 128-token sequences. The oracle rebuilds the global token stream
+# with row_number over (doc_id, word ordinal) and checks per-sequence
+# count / distinct-doc count / ends / a position-weighted checksum — i.e.
+# the packing layout itself, not just totals. Full token-array byte
+# equality is pinned by tests/test_packing.py against a numpy reference.
+_PACK_LEN = 128
+
+
+def q_pack_sequences(spark, sf_dir):
+    from htrc_feature_reader_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: (F.ascii(w) * 31 + F.length(w)).cast("int"),
+        ).alias("tokens"),
+    )
+    packed = pack_sequences(toked, _PACK_LEN, eos_token=1, drop_last=True)
+    return packed.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.element_at("tokens", 1).cast("long").alias("first_tok"),
+        F.element_at("tokens", _PACK_LEN).cast("long").alias("last_tok"),
+        F.aggregate(
+            F.zip_with(
+                "tokens",
+                F.sequence(F.lit(1), F.size("tokens")),
+                lambda t, p: t.cast("long") * p.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("checksum"),
+    )
+
+
+def _pack_sequences_sql() -> str:
+    L = _PACK_LEN
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, ascii(w) * 31 + length(w) AS tok, ord
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents)
+    ), witheos AS (
+      SELECT doc_id, tok, ord FROM toks
+      UNION ALL
+      SELECT doc_id, 1 AS tok, 2147483647 AS ord FROM documents
+    ), gpos AS (
+      SELECT tok, doc_id,
+             row_number() OVER (ORDER BY doc_id, ord) - 1 AS g
+      FROM witheos
+    )
+    SELECT CAST(g // {L} AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(arg_min(tok, g) AS BIGINT) AS first_tok,
+           CAST(arg_max(tok, g) AS BIGINT) AS last_tok,
+           CAST(sum((g % {L} + 1) * tok) AS BIGINT) AS checksum
+    FROM gpos
+    GROUP BY g // {L}
+    HAVING count(*) = {L}
+    ORDER BY seq_id
+    """
+
+
+# training-mixture recipe for q_sample_mixture: per-source keep rates over
+# the documents table's src0..src19, exercising full-keep, partial, and
+# the default-drop for sources outside the recipe
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_SEED = 11
+
+
+def q_sample_mixture(spark, sf_dir):
+    from htrc_feature_reader_spark.operators.packing import sample_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = sample_mixture(docs, _MIX_RATES, seed=_MIX_SEED)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+def _sample_mixture_sql() -> str:
+    from htrc_feature_reader_spark.operators.packing import mixture_sql_predicate
+
+    pred = mixture_sql_predicate(_MIX_RATES, seed=_MIX_SEED)
+    return f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents
+    WHERE {pred}
+    GROUP BY source
+    """
+
+
 # embedding near-dup LSH parameters — the operator's real operating point
 # (8 tables x 8 sign bits, tau=0.9), shared between the Spark query and
 # the generated DuckDB oracle: the CANDIDATE SET, not just the cosines, is
@@ -1467,6 +1573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_detect": q_lang_detect,
         "tf_idf": q_tf_idf,
         "fingerprint": q_fingerprint,
+        "pack_sequences": q_pack_sequences,
+        "sample_mixture": q_sample_mixture,
         "line_dedup": q_line_dedup,
         "bpe_token_count": q_bpe_token_count,
         "stopword_filter": q_stopword_filter,
@@ -2171,6 +2279,8 @@ def oracle_sql() -> dict[str, str]:
                  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
           FROM documents
         """,
+        "pack_sequences": _pack_sequences_sql(),
+        "sample_mixture": _sample_mixture_sql(),
         "multimodal_meta": """
           SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
         """,

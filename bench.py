@@ -67,6 +67,7 @@ HEADLINE = [
     "chunked_tokenlist",
     "tf_idf",
     "training_pipeline",
+    "pack_sequences",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_ROWS", "2400000"))

@@ -1,0 +1,239 @@
+"""Training-sequence assembly: packing and mixture sampling.
+
+The reference stops at per-volume feature tables; an LLM training-data
+pipeline additionally needs the corpus turned into model-ready input:
+
+- :func:`pack_sequences` — the standard concatenate-and-split packing:
+  order documents deterministically, concatenate their pre-tokenized
+  arrays (optionally with an EOS separator) into one global token stream,
+  and cut it into consecutive fixed-length sequences, each carrying the
+  document spans it contains (for block-diagonal attention masks).
+- :func:`sample_mixture` — deterministic per-source downsampling to hit a
+  training-mixture recipe (e.g. web 10%, code 100%), reproducible across
+  runs/engines via shared integer hash arithmetic, no RNG state.
+
+Physical plan of ``pack_sequences`` (designed for the 10^12-token scale):
+
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order keys —
+   ONE corpus shuffle establishing global order across partitions.
+2. An eager ``localCheckpoint`` barrier pins the partitioning: range
+   boundaries come from sampling, so without the barrier the offsets job
+   (step 3) and the packing job could see different partitions. Same
+   documented driver-coordination contract as ``components`` / ``ivf``;
+   any global repack must materialize the ordered corpus once anyway.
+3. Per-partition token totals (a tiny count-sized aggregate) -> exclusive
+   prefix on the driver (#partitions rows) -> broadcast back: every row
+   learns its global token offset. The per-partition running sum rides an
+   Arrow ``mapInPandas`` (vectorized cumsum, carry across batches) — a
+   narrow pass, no shuffle, token arrays pass through Arrow untouched.
+4. Each row emits one **fragment per training sequence it overlaps**
+   (array slicing JVM-side — rows ~= documents + boundary crossings, far
+   fewer than tokens), then ONE groupBy on ``seq_id`` reassembles
+   sequences. That shuffle is perfectly uniform by construction: every
+   seq_id key carries exactly ``seq_len`` tokens, so there is no skew at
+   any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 31) - 1
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "tokens",
+    doc_col: str = "doc_id",
+    order_cols: list[str] | None = None,
+    eos_token: int | None = None,
+    drop_last: bool = True,
+) -> DataFrame:
+    """Pack per-document token arrays into fixed-length training sequences.
+
+    ``order_cols`` (default ``[doc_col]``) must totally order the rows —
+    packing is deterministic under any partitioning given a unique order.
+    ``eos_token`` is appended to every document before packing when set.
+    ``drop_last=True`` drops the final partial sequence (standard for
+    fixed-shape training batches).
+
+    Returns ``(seq_id, tokens, doc_spans, n_docs, n_tok)`` where
+    ``doc_spans`` is ``array<struct<start, doc_id, len>>`` — the
+    within-sequence extent of every document fragment, in order —
+    and ``tokens`` is byte-equal to the concatenated source arrays
+    (payloads are sliced, never re-encoded).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    order_cols = list(order_cols) if order_cols else [doc_col]
+    toks = F.col(tokens_col)
+    if eos_token is not None:
+        elem_t = df.schema[tokens_col].dataType.elementType.simpleString()
+        toks = F.concat(toks, F.array(F.lit(eos_token).cast(elem_t)))
+
+    base = (
+        df.select(*order_cols, F.col(doc_col).alias("__doc"), toks.alias("__t"))
+        .withColumn("__n", F.size("__t").cast("long"))
+        .filter(F.col("__n") > 0)
+        .repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint(eager=True)  # pin sampled range partitioning (step 2)
+    )
+
+    # step 3a: per-partition totals -> driver exclusive prefix (one row per
+    # partition — thousands, never corpus-sized)
+    totals = (
+        base.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.sum("__n").alias("__tot"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in sorted(totals, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["__tot"]
+
+    # step 3b: within-partition running sum — Arrow pass-through, vectorized.
+    # NB: StructType.add MUTATES the receiver, and df.schema is a cached
+    # object — copy the fields so base's own column list stays intact.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(base.schema.fields) + [StructField("__end", LongType())]
+    )
+
+    def running_sum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        # empty partitions have no totals row (and nothing to emit)
+        carry = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            ends = pdf["__n"].to_numpy().cumsum() + carry
+            if len(ends):
+                carry = int(ends[-1])
+            yield pdf.assign(__end=ends)
+
+    g = F.col("__end") - F.col("__n")  # global start offset of this row
+    L = F.lit(int(seq_len)).cast("long")
+    # exact integer floor-div (`div`): F.floor(a / b) is DOUBLE division,
+    # which misrounds once global offsets pass 2^53 tokens
+    first_seq = F.expr(f"(__end - __n) div {int(seq_len)}")
+    last_seq = F.expr(f"(__end - 1) div {int(seq_len)}")
+    frag = (
+        base.mapInPandas(running_sum, schema=out_schema)
+        .select(
+            "__doc",
+            F.explode(
+                F.transform(
+                    F.sequence(first_seq, last_seq),
+                    # fragment of this doc landing in sequence s: global
+                    # range [max(g, sL), min(g+n, (s+1)L)) — non-empty for
+                    # every s in [first_seq, last_seq] by construction
+                    lambda s: F.struct(
+                        s.alias("seq_id"),
+                        F.greatest(g - s * L, F.lit(0).cast("long"))
+                        .cast("int")
+                        .alias("sstart"),
+                        F.slice(
+                            F.col("__t"),
+                            (F.greatest(s * L - g, F.lit(0).cast("long")) + 1).cast("int"),
+                            (
+                                F.least(F.col("__end"), (s + 1) * L)
+                                - F.greatest(g, s * L)
+                            ).cast("int"),
+                        ).alias("frag"),
+                    ),
+                )
+            ).alias("f"),
+        )
+        .select("__doc", "f.seq_id", "f.sstart", "f.frag")
+    )
+
+    # step 4: uniform reassembly — every seq_id groups exactly seq_len
+    # tokens (the final partial possibly fewer), so the shuffle cannot skew
+    parts = F.array_sort(F.collect_list(F.struct("sstart", "frag", "__doc")))
+    seqs = frag.groupBy("seq_id").agg(
+        F.flatten(F.transform(parts, lambda x: x["frag"])).alias("tokens"),
+        F.transform(
+            parts,
+            lambda x: F.struct(
+                x["sstart"].alias("start"),
+                x["__doc"].alias(doc_col),
+                F.size(x["frag"]).alias("len"),
+            ),
+        ).alias("doc_spans"),
+    )
+    seqs = seqs.select(
+        "seq_id",
+        "tokens",
+        "doc_spans",
+        F.size("doc_spans").alias("n_docs"),
+        F.size("tokens").cast("long").alias("n_tok"),
+    )
+    if drop_last:
+        seqs = seqs.filter(F.col("n_tok") == F.lit(int(seq_len)))
+    return seqs
+
+
+def sample_mixture(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 7,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-source downsampling to a mixture recipe.
+
+    Keeps a row iff ``u(key) < rates[source]`` where ``u`` is a uniform
+    [0,1) value from pure integer arithmetic (Knuth multiplicative hash
+    mod 2^31-1) over ``key_col`` — no RNG state, identical decisions on
+    any engine that can do 64-bit integer math (the DuckDB oracle replays
+    it verbatim), stable across runs and partitionings. Sources absent
+    from ``rates`` fall back to ``default_rate`` (0 = drop).
+
+    One narrow filter, fully pushdown-friendly: Catalyst folds the rate
+    lookup into a scan predicate, so at 100 TB the sampled-out rows never
+    leave the file scan stage.
+    """
+    for s, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    # reduce mod 2^31-1 BEFORE the multiply: (k % m + seed) * 2654435761
+    # stays under 2^63 (ANSI mode throws on int64 overflow). Keys are
+    # assumed non-negative (ids): plain SQL `%` then matches pmod exactly.
+    k = F.col(key_col).cast("long")
+    h = F.pmod(
+        (F.pmod(k, F.lit(_MERSENNE)) + F.lit(int(seed))) * F.lit(2654435761),
+        F.lit(_MERSENNE),
+    )
+    u = h.cast("double") / F.lit(float(_MERSENNE))
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(rate)
+    return df.filter(u < rate)
+
+
+def mixture_sql_predicate(
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 7,
+    default_rate: float = 0.0,
+) -> str:
+    """The exact :func:`sample_mixture` keep-predicate as ANSI SQL (for
+    DuckDB oracles and cross-engine replays) — same integer arithmetic,
+    same branch order."""
+    m = _MERSENNE
+    u = (
+        f"(((({key_col} % {m}) + {int(seed)}) * 2654435761) % {m})"
+        f" / CAST({m} AS DOUBLE)"
+    )
+    rate = str(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = f"CASE WHEN {source_col} = '{s}' THEN {float(r)} ELSE {rate} END"
+    return f"({u}) < ({rate})"

@@ -1,0 +1,172 @@
+"""Sequence packing + mixture sampling: byte-parity with a numpy
+reference, span bookkeeping, determinism under repartitioning."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from htrc_feature_reader_spark.operators.packing import (
+    mixture_sql_predicate,
+    pack_sequences,
+    sample_mixture,
+)
+from htrc_feature_reader_spark.synth import generate_sequences
+
+
+def _ref_pack(rows, seq_len, eos=None, drop_last=True):
+    """Reference: concatenate in doc_id order, reshape, record spans."""
+    stream, spans = [], []  # spans: (gstart, doc, len)
+    g = 0
+    for doc, toks in sorted(rows, key=lambda r: r[0]):
+        t = list(toks) + ([eos] if eos is not None else [])
+        if not t:
+            continue
+        stream.extend(t)
+        spans.append((g, doc, len(t)))
+        g += len(t)
+    seqs = {}
+    for s in range((len(stream) + seq_len - 1) // seq_len):
+        chunk = stream[s * seq_len:(s + 1) * seq_len]
+        if drop_last and len(chunk) < seq_len:
+            continue
+        doc_spans = []
+        for gs, doc, n in spans:
+            lo, hi = max(gs, s * seq_len), min(gs + n, (s + 1) * seq_len)
+            if lo < hi:
+                doc_spans.append((lo - s * seq_len, doc, hi - lo))
+        seqs[s] = (chunk, doc_spans)
+    return seqs
+
+
+def _spark_pack(spark, rows, seq_len, **kw):
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = pack_sequences(df, seq_len, **kw).collect()
+    return {
+        r["seq_id"]: (
+            list(r["tokens"]),
+            [(s["start"], s["doc_id"], s["len"]) for s in r["doc_spans"]],
+        )
+        for r in out
+    }
+
+
+def test_pack_matches_reference_bit_exact(spark):
+    rows = [(f"d{i:03d}", list(range(i * 100, i * 100 + (i * 7) % 23 + 1)))
+            for i in range(40)]
+    for seq_len in (16, 64):
+        for drop_last in (True, False):
+            got = _spark_pack(spark, rows, seq_len, drop_last=drop_last)
+            ref = _ref_pack(rows, seq_len, drop_last=drop_last)
+            assert got == ref
+
+
+def test_pack_doc_spanning_many_sequences(spark):
+    """One long doc crosses several sequence boundaries; short docs pad
+    around it. Every token placement and span must match the reference."""
+    rows = [("a", list(range(5))), ("big", list(range(1000, 1137))),
+            ("z", list(range(7)))]
+    got = _spark_pack(spark, rows, 32, drop_last=False)
+    ref = _ref_pack(rows, 32, drop_last=False)
+    assert got == ref
+    # the long doc appears as a fragment in ceil-ish many sequences
+    n_big = sum(1 for toks, spans in got.values()
+                for _, d, _ in spans if d == "big")
+    assert n_big >= 137 // 32
+
+
+def test_pack_eos_and_empty_docs(spark):
+    rows = [("a", [1, 2]), ("empty", []), ("b", [3])]
+    got = _spark_pack(spark, rows, 3, eos_token=0, drop_last=False)
+    ref = _ref_pack(rows, 3, eos=0, drop_last=False)
+    assert got == ref
+    # eos after every doc (an empty doc still contributes its EOS):
+    # doc order a, b, empty -> stream = [1,2,0, 3,0, 0]
+    assert got[0][0] == [1, 2, 0]
+    assert got[1][0] == [3, 0, 0]
+
+
+def test_pack_deterministic_under_partitioning(spark):
+    rows = [(f"d{i:02d}", [i] * (i % 5 + 1)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    a = {r["seq_id"]: list(r["tokens"])
+         for r in pack_sequences(df, 8).collect()}
+    b = {r["seq_id"]: list(r["tokens"])
+         for r in pack_sequences(df.repartition(13), 8).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_pack_token_stream_byte_equality(spark):
+    """The concatenation of packed sequences is byte-equal to the
+    concatenation of the source arrays (payloads sliced, never
+    re-encoded) — the north-rule token-array invariant."""
+    seqs = generate_sequences(spark, 200, n_docs=20, seed=3)
+    src = seqs.select("doc_id", "ts", "tokens").toPandas().sort_values(
+        ["doc_id", "ts"], kind="mergesort")
+    # make order unique: (doc_id, ts) can collide in synth -> add the row id
+    df = seqs.select(
+        "doc_id", "ts", "tokens",
+        F.xxhash64("doc_id", "ts", "tokens").alias("uniq"),
+    )
+    out = pack_sequences(df, 512, order_cols=["doc_id", "ts", "uniq"],
+                         drop_last=False)
+    packed = out.orderBy("seq_id").toPandas()
+    got = np.concatenate([np.asarray(t, dtype=np.int32)
+                          for t in packed["tokens"]])
+    n_src = int(seqs.agg(F.sum("n_tok")).first()[0])
+    assert len(got) == n_src
+    assert int(packed["n_tok"].sum()) == n_src
+    # every full sequence has exactly seq_len tokens
+    full = packed[packed["seq_id"] < packed["seq_id"].max()]
+    assert (full["n_tok"] == 512).all()
+
+
+def test_pack_rejects_bad_seq_len(spark):
+    df = spark.createDataFrame([("a", [1])], "doc_id string, tokens array<int>")
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0)
+
+
+def test_sample_mixture_deterministic_and_rate_accurate(spark):
+    df = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("book"), F.lit("code")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("source"),
+    )
+    rates = {"web": 0.1, "book": 0.5, "code": 1.0}
+    kept = sample_mixture(df, rates).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in kept}
+    assert got["code"] == 20000 // 3 + (1 if 20000 % 3 else 0) or got["code"] > 0
+    for s, r in rates.items():
+        n_s = df.filter(F.col("source") == s).count()
+        assert abs(got.get(s, 0) / n_s - r) < 0.03, (s, got.get(s), n_s)
+    # deterministic: same rows kept on re-run and under repartitioning
+    a = sorted(r["doc_id"] for r in sample_mixture(df, rates).collect())
+    b = sorted(r["doc_id"]
+               for r in sample_mixture(df.repartition(17), rates).collect())
+    assert a == b
+
+
+def test_sample_mixture_sql_predicate_parity(spark):
+    """The generated SQL predicate keeps EXACTLY the same rows (the
+    oracle-replay contract)."""
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("code").alias("source"),
+    )
+    rates = {"web": 0.25, "code": 0.9}
+    a = sorted(r["doc_id"] for r in sample_mixture(df, rates, seed=11).collect())
+    df.createOrReplaceTempView("mix_docs")
+    pred = mixture_sql_predicate(rates, seed=11)
+    b = sorted(r["doc_id"] for r in spark.sql(
+        f"select doc_id from mix_docs where {pred}").collect())
+    assert a == b and 0 < len(a) < 5000
+
+
+def test_sample_mixture_default_rate_and_validation(spark):
+    df = spark.createDataFrame([(1, "web"), (2, "??")], "doc_id long, source string")
+    assert sample_mixture(df, {"web": 1.0}).count() == 1  # unknown dropped
+    assert sample_mixture(df, {"web": 1.0}, default_rate=1.0).count() == 2
+    with pytest.raises(ValueError):
+        sample_mixture(df, {"web": 1.5})

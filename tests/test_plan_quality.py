@@ -117,3 +117,41 @@ def test_salted_asof_replicates_build_not_probe(spark):
     plan = _formatted(asof_join(probe, build, on="key", ts="ts", salt=4))
     assert ") Generate" in plan or "explode" in plan  # build replication
     assert plan.count(") Window") == 1  # still one window pass
+
+def test_pack_sequences_single_reassembly_shuffle(spark):
+    """After the checkpointed range sort, packing must be: one narrow
+    Arrow pass (the offset cumsum), one explode, and exactly ONE exchange
+    (the uniform seq_id reassembly). A second shuffle or a per-group
+    pandas stage here would double the corpus movement at 10^12 tokens."""
+    from htrc_feature_reader_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"d{i}", list(range(i % 7 + 1))) for i in range(50)],
+        "doc_id string, tokens array<int>",
+    )
+    plan = _formatted(pack_sequences(df, 16))
+    assert plan.count(") Exchange") == 1
+    assert plan.count(") MapInPandas") == 1
+    for op in ("BatchEvalPython", "FlatMapGroupsInPandas", "CartesianProduct"):
+        assert op not in plan
+    # exact integer floor-div for sequence assignment (no double rounding)
+    assert " div " in plan
+
+
+def test_sample_mixture_is_scan_predicate(spark, tmp_path):
+    """The mixture filter must reach the parquet scan as a pushed data
+    filter (sampled-out rows never leave the scan stage) and stay fully
+    JVM-side."""
+    from htrc_feature_reader_spark.operators.packing import sample_mixture
+
+    p = str(tmp_path / "docs")
+    spark.range(100).selectExpr(
+        "id as doc_id", "case when id % 2 = 0 then 'web' else 'code' end as source"
+    ).write.parquet(p)
+    plan = _formatted(sample_mixture(spark.read.parquet(p), {"web": 0.5}))
+    assert plan.count(") Exchange") == 0
+    for op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert op not in plan
+    # the whole predicate is a PushedFilters/data-filter candidate: at
+    # minimum the scan carries both referenced columns and a Filter node
+    assert plan.count(") Filter") == 1
