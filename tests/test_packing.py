@@ -170,3 +170,42 @@ def test_sample_mixture_default_rate_and_validation(spark):
     assert sample_mixture(df, {"web": 1.0}, default_rate=1.0).count() == 2
     with pytest.raises(ValueError):
         sample_mixture(df, {"web": 1.5})
+
+
+def test_mixture_clean_pack_composition(spark):
+    """The assembly line scripts/pack_pipeline_job.py runs (mixture ->
+    clean -> tokenize -> pack) composes into one coherent result: every
+    packed token traces back to a kept, cleaned document."""
+    from htrc_feature_reader_spark.operators import clean_corpus, sample_mixture
+    from htrc_feature_reader_spark.operators.pipeline import CleanConfig
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the quick brown fox jumps over the lazy dog number "),
+            F.col("id").cast("string"),
+            F.lit(" and then walks away calmly with more words to pass quality"),
+        ).alias("text"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("code").alias("source"),
+    )
+    mixed = sample_mixture(docs, {"web": 1.0, "code": 0.25}, seed=5)
+    cleaned = clean_corpus(mixed, CleanConfig(near_dup=False))
+    toked = cleaned.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: (F.ascii(w) * 31 + F.length(w)).cast("int"),
+        ).alias("tokens"),
+    )
+    packed = pack_sequences(toked, 64, eos_token=1, drop_last=False)
+    kept_docs = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    span_docs = {
+        s["doc_id"]
+        for r in packed.select("doc_spans").collect()
+        for s in r["doc_spans"]
+    }
+    assert span_docs == kept_docs and len(kept_docs) > 0
+    # token conservation: packed total == per-doc tokens + one EOS each
+    n_packed = packed.agg(F.sum("n_tok")).first()[0]
+    n_src = toked.agg(F.sum(F.size("tokens"))).first()[0]
+    assert n_packed == n_src + len(kept_docs)
