@@ -71,9 +71,13 @@ def pack_sequences(
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     order_cols = list(order_cols) if order_cols else [doc_col]
-    toks = F.col(tokens_col)
+    elem_t = df.schema[tokens_col].dataType.elementType.simpleString()
+    # NULL token arrays behave exactly like empty ones (a tokenizer seam
+    # may emit NULL for an untokenizable doc): with EOS set the doc still
+    # contributes its separator; without, it is skipped. concat(NULL, x)
+    # is NULL, which would otherwise silently swallow the EOS too.
+    toks = F.coalesce(F.col(tokens_col), F.array().cast(f"array<{elem_t}>"))
     if eos_token is not None:
-        elem_t = df.schema[tokens_col].dataType.elementType.simpleString()
         toks = F.concat(toks, F.array(F.lit(eos_token).cast(elem_t)))
 
     base = (
@@ -229,8 +233,11 @@ def mixture_sql_predicate(
     DuckDB oracles and cross-engine replays) — same integer arithmetic,
     same branch order."""
     m = _MERSENNE
+    # (key % m + m) % m: plain SQL `%` keeps the dividend's sign, so this
+    # double-mod is the pmod equivalent — negative keys then make the SAME
+    # decision as Spark's F.pmod instead of silently keeping every row
     u = (
-        f"(((({key_col} % {m}) + {int(seed)}) * 2654435761) % {m})"
+        f"((((({key_col} % {m}) + {m}) % {m} + {int(seed)}) * 2654435761) % {m})"
         f" / CAST({m} AS DOUBLE)"
     )
     rate = str(float(default_rate))

@@ -172,8 +172,15 @@ def copy_volumes(
     foreign_bases = {r["b"] for r in foreign.collect()} - dupe_bases
 
     def copy_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         import json
         import uuid
+
+        def prefixed(base: str, src_path: str) -> str:
+            # THE collision-naming contract: a stable 8-hex source-path
+            # prefix (tests and cross-run idempotency rely on it)
+            h8 = hashlib.sha1(src_path.encode()).hexdigest()[:8]
+            return f"{h8}.{base}"
 
         written: list[tuple[str, str]] = []
         for pdf in batches:
@@ -201,10 +208,7 @@ def copy_volumes(
                 else:
                     payload = _encode(_decode(bytes(content), src_codec), dst_codec)
                 if final_base in dupe_bases:
-                    import hashlib
-
-                    h8 = hashlib.sha1(local.encode()).hexdigest()[:8]
-                    final_base = f"{h8}.{final_base}"
+                    final_base = prefixed(final_base, local)
                 elif final_base in foreign_bases:
                     # unrecorded existing file: byte-identical -> same copy
                     # from a crashed run (manifest write never landed) ->
@@ -220,10 +224,7 @@ def copy_volumes(
                     except OSError:
                         pass  # vanished between listing and copy: plain name
                     if not same and os.path.exists(existing_path):
-                        import hashlib
-
-                        h8 = hashlib.sha1(local.encode()).hexdigest()[:8]
-                        final_base = f"{h8}.{final_base}"
+                        final_base = prefixed(final_base, local)
                 dest = os.path.join(dest_dir, final_base)
                 tmp = dest + f".__tmp_{os.getpid()}"
                 with open(tmp, "wb") as f:

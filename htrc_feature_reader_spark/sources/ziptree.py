@@ -152,14 +152,25 @@ def write_ef_ziptree(
         # MERGE with a pre-existing shard: a 'w'-mode rewrite would delete
         # every prior member that hashed into this shard (incremental
         # populate across jobs would silently lose volumes). Carry old
-        # members verbatim; same-name new members win. Shard size is
+        # members verbatim; a new member replaces any old member for the
+        # SAME VOLUME — compared by htid stem, not raw filename, since the
+        # member name embeds the compression extension and a re-populate
+        # with a different codec would otherwise leave two members (and
+        # read_ef_ziptree would return the volume twice). Shard size is
         # bounded by the sha1 sharding, so holding one shard in memory is
         # the same cost the read path already pays.
+        def _stem(name: str) -> str:
+            for ext in (".bz2", ".gz"):
+                if name.endswith(ext):
+                    name = name[: -len(ext)]
+            return name
+
+        new_stems = {_stem(n) for n in new}
         carried: dict[str, bytes] = {}
         if os.path.exists(dest):
             with zipfile.ZipFile(dest) as old:
                 for name in old.namelist():
-                    if name not in new:
+                    if _stem(name) not in new_stems:
                         carried[name] = old.read(name)
         n_bytes = 0
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:

@@ -101,6 +101,13 @@ def stream_asof_join(
 
     # closure, not module-level: cloudpickle ships it by value so executors
     # never import this package (works from any driver cwd / bare submit)
+    if allow_exact_matches:
+        def admissible(t, p):
+            return t is not None and t <= p
+    else:
+        def admissible(t, p):
+            return t is not None and t < p
+
     def join_fn(group_key, batches: Iterator[pd.DataFrame], state: GroupState):
         if state.exists:
             st = state.get
@@ -151,13 +158,12 @@ def stream_asof_join(
                 # rule could fall back to a prev_ts that itself equals the
                 # probe ts. prev_ts <= last_ts always (late builds are
                 # dropped above), so last-then-prev picks the most recent
-                # admissible row.
-                def _ok(t, pts=tss[i]):
-                    return t is not None and (t <= pts if allow_exact_matches else t < pts)
-
-                if _ok(last_ts):
+                # admissible row. (`admissible` is hoisted above the loop
+                # — this is the per-probe-row hot path.)
+                pts = tss[i]
+                if admissible(last_ts, pts):
                     cand_ts, cand_vals = last_ts, last_vals
-                elif _ok(prev_ts):
+                elif admissible(prev_ts, pts):
                     cand_ts, cand_vals = prev_ts, prev_vals
                 else:
                     cand_ts, cand_vals = None, [None] * n_vals

@@ -137,7 +137,8 @@ def test_sample_mixture_deterministic_and_rate_accurate(spark):
     rates = {"web": 0.1, "book": 0.5, "code": 1.0}
     kept = sample_mixture(df, rates).groupBy("source").count().collect()
     got = {r["source"]: r["count"] for r in kept}
-    assert got["code"] == 20000 // 3 + (1 if 20000 % 3 else 0) or got["code"] > 0
+    # rate 1.0 keeps EVERY row of its source, exactly
+    assert got["code"] == sum(1 for i in range(20000) if i % 3 == 2)
     for s, r in rates.items():
         n_s = df.filter(F.col("source") == s).count()
         assert abs(got.get(s, 0) / n_s - r) < 0.03, (s, got.get(s), n_s)
@@ -209,3 +210,45 @@ def test_mixture_clean_pack_composition(spark):
     n_packed = packed.agg(F.sum("n_tok")).first()[0]
     n_src = toked.agg(F.sum(F.size("tokens"))).first()[0]
     assert n_packed == n_src + len(kept_docs)
+
+
+def test_pack_null_tokens_behave_like_empty(spark):
+    """A NULL token array (tokenizer seam emitting NULL for an
+    untokenizable doc) must act exactly like an empty one: EOS still
+    emitted when configured, doc skipped (not silently half-dropped)
+    otherwise."""
+    df = spark.createDataFrame(
+        [("a", [1, 2]), ("nul", None), ("b", [3])],
+        "doc_id string, tokens array<int>",
+    )
+    got = {
+        r["seq_id"]: (list(r["tokens"]),
+                      [(s["start"], s["doc_id"], s["len"]) for s in r["doc_spans"]])
+        for r in pack_sequences(df, 3, eos_token=0, drop_last=False).collect()
+    }
+    # doc order a, b, nul -> stream [1,2,0, 3,0, 0]; nul contributes its EOS
+    assert got[0][0] == [1, 2, 0]
+    assert got[1][0] == [3, 0, 0]
+    assert ("nul" in {d for _, spans in got.values() for _, d, _ in spans})
+    # without EOS, null == empty == skipped
+    n = pack_sequences(df, 3, drop_last=False).agg(F.sum("n_tok")).first()[0]
+    assert n == 3
+
+
+def test_sample_mixture_sql_parity_negative_keys(spark):
+    """Negative keys (e.g. xxhash64-derived ids) must make the SAME
+    decision in the generated SQL as in Spark: plain SQL `%` keeps the
+    dividend's sign, so the predicate uses the pmod-equivalent
+    double-mod."""
+    df = spark.range(4000).select(
+        (F.col("id") - 2000).alias("doc_id"),  # half the keys negative
+        F.lit("web").alias("source"),
+    )
+    rates = {"web": 0.3}
+    a = sorted(r["doc_id"] for r in sample_mixture(df, rates, seed=3).collect())
+    df.createOrReplaceTempView("neg_docs")
+    pred = mixture_sql_predicate(rates, seed=3)
+    b = sorted(r["doc_id"] for r in spark.sql(
+        f"select doc_id from neg_docs where {pred}").collect())
+    assert a == b
+    assert any(k < 0 for k in a), "no negative keys survived — vacuous test"

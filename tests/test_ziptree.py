@@ -124,3 +124,20 @@ def test_ziptree_incremental_populate_merges_shards(spark, tmp_path):
         assert len(names) == 3 and len(set(names)) == 3
         got = bz2.decompress(zf.read(resolver_filename("vol.b"))).decode("utf-8")
     assert got == js2
+
+
+@pytest.mark.skipif(not os.path.isfile(FIXTURE), reason="reference fixtures absent")
+def test_ziptree_repopulate_with_different_codec_replaces_member(spark, tmp_path):
+    """Re-populating the SAME volume with a different compression must
+    replace its member, not leave two (the merge compares htid stems, not
+    raw filenames — the name embeds the codec extension)."""
+    with open(FIXTURE, "rb") as f:
+        js = bz2.decompress(f.read()).decode("utf-8")
+    dest = str(tmp_path / "ztree")
+    docs = spark.createDataFrame([("vol.x", js)], "htid string, json string")
+    write_ef_ziptree(docs, dest, hash_chars=0, compression="bz2").collect()
+    write_ef_ziptree(docs, dest, hash_chars=0, compression="gz").collect()
+    with zipfile.ZipFile(os.path.join(dest, "features.zip")) as zf:
+        names = zf.namelist()
+    assert names == [resolver_filename("vol.x", "json", "gz")], names
+    assert read_ef_ziptree(spark, f"{dest}/*.zip").count() == 1
