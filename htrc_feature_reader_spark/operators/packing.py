@@ -53,6 +53,7 @@ def pack_sequences(
     order_cols: list[str] | None = None,
     eos_token: int | None = None,
     drop_last: bool = True,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Pack per-document token arrays into fixed-length training sequences.
 
@@ -60,7 +61,12 @@ def pack_sequences(
     packing is deterministic under any partitioning given a unique order.
     ``eos_token`` is appended to every document before packing when set.
     ``drop_last=True`` drops the final partial sequence (standard for
-    fixed-shape training batches).
+    fixed-shape training batches). ``n_partitions`` sizes the range
+    partitioning explicitly (default: ``spark.sql.shuffle.partitions``)
+    — at the 100 TB tier set it so one partition's token payload fits
+    executor memory for the checkpoint barrier (the per-partition offset
+    table collected to the driver stays one row per partition either
+    way).
 
     Returns ``(seq_id, tokens, doc_spans, n_docs, n_tok)`` where
     ``doc_spans`` is ``array<struct<start, doc_id, len>>`` — the
@@ -84,7 +90,7 @@ def pack_sequences(
         df.select(*order_cols, F.col(doc_col).alias("__doc"), toks.alias("__t"))
         .withColumn("__n", F.size("__t").cast("long"))
         .filter(F.col("__n") > 0)
-        .repartitionByRange(*order_cols)
+        .repartitionByRange(*([int(n_partitions)] if n_partitions else []), *order_cols)
         .sortWithinPartitions(*order_cols)
         .localCheckpoint(eager=True)  # pin sampled range partitioning (step 2)
     )

@@ -252,3 +252,13 @@ def test_sample_mixture_sql_parity_negative_keys(spark):
         f"select doc_id from neg_docs where {pred}").collect())
     assert a == b
     assert any(k < 0 for k in a), "no negative keys survived — vacuous test"
+
+
+def test_pack_explicit_partition_count(spark):
+    rows = [(f"d{i:02d}", [i, i + 1]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    a = {r["seq_id"]: list(r["tokens"])
+         for r in pack_sequences(df, 8, n_partitions=3).collect()}
+    b = {r["seq_id"]: list(r["tokens"])
+         for r in pack_sequences(df, 8).collect()}
+    assert a == b and len(a) > 0
