@@ -896,6 +896,39 @@ def _pack_sequences_sql() -> str:
     """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag every training doc sharing a word
+    3-gram with the 'eval suite' (here: the texts of doc_id < 5). The
+    overlap test runs on hashed shingle ids (word_shingle_ids' shared
+    integer hash family) — the oracle replays the same hashes and joins
+    on sid, so even hash collisions would agree."""
+    from htrc_feature_reader_spark.operators import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 5).select("text")
+    out = decontaminate(docs, ev, n=3, return_flags=True)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("contaminated"),
+    )
+
+
+def _decontaminate_sql() -> str:
+    sid = _SQL_ROLLHASH.format(col="shingle")
+    return f"""
+      WITH tr AS ({_SQL_SHINGLES}),
+      ev AS (
+        SELECT DISTINCT {sid} AS sid
+        FROM ({_SQL_SHINGLES.replace("FROM documents", "FROM documents WHERE doc_id < 5")})
+      ),
+      trh AS (SELECT DISTINCT doc_id, {sid} AS sid FROM tr),
+      c AS (SELECT DISTINCT doc_id FROM trh SEMI JOIN ev USING (sid))
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             (c.doc_id IS NOT NULL) AS contaminated
+      FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+    """
+
+
 # training-mixture recipe for q_sample_mixture: per-source keep rates over
 # the documents table's src0..src19, exercising full-keep, partial, and
 # the default-drop for sources outside the recipe
@@ -1574,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf": q_tf_idf,
         "fingerprint": q_fingerprint,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "sample_mixture": q_sample_mixture,
         "line_dedup": q_line_dedup,
         "bpe_token_count": q_bpe_token_count,
@@ -2280,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         """,
         "pack_sequences": _pack_sequences_sql(),
+        "decontaminate": _decontaminate_sql(),
         "sample_mixture": _sample_mixture_sql(),
         "multimodal_meta": """
           SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents

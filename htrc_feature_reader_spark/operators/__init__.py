@@ -12,6 +12,7 @@ from .asof import asof_join  # noqa: F401
 from .windows import with_lag_lead, forward_fill, backward_fill, sessionize  # noqa: F401
 from .features import build_pit_features  # noqa: F401
 from .dedup import (  # noqa: F401
+    decontaminate,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,

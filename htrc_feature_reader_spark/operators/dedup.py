@@ -515,3 +515,54 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)  # drop BEFORE the
         .distinct()                               # distinct's shuffle
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    n: int = 13,
+    broadcast_eval: bool = True,
+    return_flags: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: remove (or flag) training documents
+    sharing any word ``n``-gram with an evaluation/benchmark set — the
+    standard 13-gram overlap rule from LLM training-data pipelines.
+
+    Both sides shingle through :func:`word_shingle_ids` (one char pass
+    per doc, integer ids, no shingle strings materialized), so the
+    overlap test is one semi-join on hashed ids. ``broadcast_eval=True``
+    is safe BY CONSTRUCTION here — unlike corpus-sized tables, the
+    distinct n-gram set of an eval suite is bounded by the benchmark's
+    own size (KB-MB even for large suites), the same bounded-side rule as
+    ``vocab.remove_stopwords``; pass False for eval sets that are
+    themselves corpus-scale and let AQE pick the strategy.
+
+    Documents shorter than ``n`` words produce no shingles and are never
+    flagged (exactly the reference rule: an overlap needs a full n-gram).
+    ``return_flags=True`` returns every doc with a ``contaminated``
+    boolean instead of dropping the flagged ones.
+    """
+    eval_text_col = eval_text_col or text_col
+    ev = eval_df.select(F.lit(0).alias("__eid"), F.col(eval_text_col).alias("__t"))
+    ev_sh = (
+        word_shingle_ids(ev, "__t", "__eid", n=n)
+        .select("shingle_id")
+        .distinct()
+    )
+    if broadcast_eval:
+        ev_sh = F.broadcast(ev_sh)
+    tr_sh = word_shingle_ids(docs, text_col, id_col, n=n)
+    contaminated = (
+        tr_sh.join(ev_sh, on="shingle_id", how="left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    if return_flags:
+        flag = contaminated.withColumn("contaminated", F.lit(True))
+        return docs.join(flag, on=id_col, how="left").withColumn(
+            "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+        )
+    return docs.join(contaminated, on=id_col, how="left_anti")

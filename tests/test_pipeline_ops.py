@@ -224,3 +224,46 @@ def test_resize_images_plumbing(spark):
     )
     out_s = resize_images(media_s, 4, 4, resizer=fake_resizer).collect()
     assert {r["media_id"] for r in out_s} == {f"m{i}" for i in range(6)}
+
+
+class TestDecontaminate:
+    def _docs(self, spark):
+        from pyspark.sql import functions as F
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta"),          # overlaps eval
+            (2, "one two three four five six seven"),            # clean
+            (3, "x alpha beta gamma delta epsilon y"),           # overlaps (5-gram)
+            (4, "short doc"),                                    # < n words
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_flags_and_drops(self, spark):
+        from htrc_feature_reader_spark.operators import decontaminate
+        docs = self._docs(spark)
+        ev = spark.createDataFrame(
+            [("alpha beta gamma delta epsilon",)], "text string")
+        flagged = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(docs, ev, n=5, return_flags=True).collect()
+        }
+        assert flagged == {1: True, 2: False, 3: True, 4: False}
+        clean = sorted(r["doc_id"] for r in decontaminate(docs, ev, n=5).collect())
+        assert clean == [2, 4]
+
+    def test_short_docs_never_flagged(self, spark):
+        from htrc_feature_reader_spark.operators import decontaminate
+        docs = self._docs(spark)
+        ev = spark.createDataFrame([("short doc",)], "text string")
+        # both sides < n words -> no shingles -> nothing flagged
+        out = decontaminate(docs, ev, n=13, return_flags=True)
+        assert not any(r["contaminated"] for r in out.collect())
+
+    def test_unbroadcast_matches(self, spark):
+        from htrc_feature_reader_spark.operators import decontaminate
+        docs = self._docs(spark)
+        ev = spark.createDataFrame(
+            [("alpha beta gamma delta epsilon",)], "text string")
+        a = sorted(r["doc_id"] for r in decontaminate(docs, ev, n=5).collect())
+        b = sorted(r["doc_id"] for r in
+                   decontaminate(docs, ev, n=5, broadcast_eval=False).collect())
+        assert a == b
