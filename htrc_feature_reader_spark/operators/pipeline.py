@@ -67,6 +67,9 @@ class CleanConfig:
     # min id per component (cluster-correct on chains; runs the bounded
     # iterative rounds of operators/components.py when the plan is built)
     survivorship: str = "pairs"
+    # word n-gram length for the optional eval-set decontamination stage
+    # (armed by clean_corpus(eval_df=...)); 13 is the standard rule
+    decontaminate_n: int = 13
     extra_filters: list = field(default_factory=list)  # extra Column predicates
 
 
@@ -75,12 +78,17 @@ def clean_corpus(
     config: CleanConfig | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eval_df: DataFrame | None = None,
 ) -> DataFrame:
     """Clean ``docs`` for training: returns surviving rows with quality
     columns, ``lang`` (detected or stored), and whitespace/BPE-ish token
     counts attached. Fully lazy — one plan, no driver actions — except
     ``survivorship='clusters'``, which runs the bounded connected-
     components rounds (documented iterative operator) while building.
+
+    ``eval_df`` arms benchmark decontamination as the final stage: any
+    survivor sharing a ``decontaminate_n``-gram (CleanConfig, default 13)
+    with the eval texts is dropped (:func:`..dedup.decontaminate`).
     """
     cfg = config or CleanConfig()
     q = quality_features(docs, text_col)
@@ -134,6 +142,12 @@ def clean_corpus(
         else:
             raise ValueError(f"unknown survivorship {cfg.survivorship!r}")
         q = q.join(drop, on=id_col, how="left_anti")
+
+    if eval_df is not None:
+        from .dedup import decontaminate
+
+        q = decontaminate(q, eval_df, text_col=text_col, id_col=id_col,
+                          n=cfg.decontaminate_n)
 
     # ws_tokens == quality's n_tokens (same split expression) — alias it
     # rather than re-evaluating the regex split over every row

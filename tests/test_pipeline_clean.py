@@ -76,3 +76,30 @@ def test_clean_corpus_plan_no_cartesian_no_rowpython(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     assert "ArrowEvalPython" not in plan  # fully Catalyst, in fact
+
+
+def test_clean_corpus_decontamination_stage(spark):
+    """clean_corpus(eval_df=...) arms decontamination as the final
+    stage; without it the default funnel is unchanged."""
+    from pyspark.sql import functions as F
+    from htrc_feature_reader_spark.operators.pipeline import CleanConfig, clean_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog while many other "
+            "words pad this document out to pass every quality threshold ")
+    docs = spark.createDataFrame(
+        [(i, base + f"unique tail {i} with several more distinct words") 
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    cfg = CleanConfig(near_dup=False, decontaminate_n=5)
+    no_decon = clean_corpus(docs, cfg)
+    n0 = no_decon.count()
+    assert n0 == 20
+    # eval set shares the doc-0 tail 5-gram only
+    ev = spark.createDataFrame(
+        [("unique tail 0 with several",)], "text string")
+    out = clean_corpus(docs, cfg, eval_df=ev)
+    survivors = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert survivors == sorted(set(range(20)) - {0})
+    # the shared quality-prefix does NOT contaminate (n-gram must match)
+    assert 1 in survivors
