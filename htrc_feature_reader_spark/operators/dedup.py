@@ -526,6 +526,7 @@ def decontaminate(
     n: int = 13,
     broadcast_eval: bool = True,
     return_flags: bool = False,
+    flag_col: str = "contaminated",
 ) -> DataFrame:
     """Benchmark decontamination: remove (or flag) training documents
     sharing any word ``n``-gram with an evaluation/benchmark set — the
@@ -542,9 +543,18 @@ def decontaminate(
 
     Documents shorter than ``n`` words produce no shingles and are never
     flagged (exactly the reference rule: an overlap needs a full n-gram).
-    ``return_flags=True`` returns every doc with a ``contaminated``
-    boolean instead of dropping the flagged ones.
+    ``return_flags=True`` returns every doc with a ``flag_col``
+    (default ``contaminated``) boolean instead of dropping the flagged
+    ones.
     """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if return_flags and flag_col in docs.columns:
+        # same contract as detect_language: never silently shadow or
+        # ambiguate an existing column (e.g. a prior decontamination run)
+        raise ValueError(
+            f"output column {flag_col!r} already exists; pass flag_col="
+        )
     eval_text_col = eval_text_col or text_col
     ev = eval_df.select(F.lit(0).alias("__eid"), F.col(eval_text_col).alias("__t"))
     ev_sh = (
@@ -561,8 +571,8 @@ def decontaminate(
         .distinct()
     )
     if return_flags:
-        flag = contaminated.withColumn("contaminated", F.lit(True))
+        flag = contaminated.withColumn(flag_col, F.lit(True))
         return docs.join(flag, on=id_col, how="left").withColumn(
-            "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+            flag_col, F.coalesce(F.col(flag_col), F.lit(False))
         )
     return docs.join(contaminated, on=id_col, how="left_anti")

@@ -76,6 +76,10 @@ def pack_sequences(
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    if n_partitions is not None and n_partitions < 1:
+        # a truthiness check would silently drop an explicitly computed 0
+        # (e.g. total_tokens // budget on a small input) back to defaults
+        raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
     order_cols = list(order_cols) if order_cols else [doc_col]
     elem_t = df.schema[tokens_col].dataType.elementType.simpleString()
     # NULL token arrays behave exactly like empty ones (a tokenizer seam
@@ -90,7 +94,9 @@ def pack_sequences(
         df.select(*order_cols, F.col(doc_col).alias("__doc"), toks.alias("__t"))
         .withColumn("__n", F.size("__t").cast("long"))
         .filter(F.col("__n") > 0)
-        .repartitionByRange(*([int(n_partitions)] if n_partitions else []), *order_cols)
+        .repartitionByRange(
+            *([int(n_partitions)] if n_partitions is not None else []), *order_cols
+        )
         .sortWithinPartitions(*order_cols)
         .localCheckpoint(eager=True)  # pin sampled range partitioning (step 2)
     )

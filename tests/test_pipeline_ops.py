@@ -267,3 +267,20 @@ class TestDecontaminate:
         b = sorted(r["doc_id"] for r in
                    decontaminate(docs, ev, n=5, broadcast_eval=False).collect())
         assert a == b
+
+    def test_validation_and_flag_col(self, spark):
+        from htrc_feature_reader_spark.operators import decontaminate
+        docs = self._docs(spark)
+        ev = spark.createDataFrame([("alpha beta gamma delta epsilon",)],
+                                   "text string")
+        with pytest.raises(ValueError):
+            decontaminate(docs, ev, n=0)
+        # chaining two flag runs needs distinct flag columns, not a crash
+        once = decontaminate(docs, ev, n=5, return_flags=True)
+        with pytest.raises(ValueError):
+            decontaminate(once, ev, n=5, return_flags=True)
+        twice = decontaminate(once, ev, n=6, return_flags=True,
+                              flag_col="contaminated6")
+        r = {x["doc_id"]: (x["contaminated"], x["contaminated6"])
+             for x in twice.collect()}
+        assert r[1] == (True, False) and r[2] == (False, False)
