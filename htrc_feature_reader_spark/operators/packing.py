@@ -256,3 +256,45 @@ def mixture_sql_predicate(
     for s, r in sorted(rates.items()):
         rate = f"CASE WHEN {source_col} = '{s}' THEN {float(r)} ELSE {rate} END"
     return f"({u}) < ({rate})"
+
+
+def unpack_sequences(
+    packed: DataFrame,
+    doc_col: str = "doc_id",
+    eos_token: int | None = None,
+) -> DataFrame:
+    """Inverse of :func:`pack_sequences`: reassemble per-document token
+    arrays from packed sequences and their ``doc_spans`` (lineage
+    debugging, selective re-tokenization, audit). Pure Catalyst: explode
+    the spans, slice each fragment out of its sequence JVM-side, one
+    groupBy on the doc to re-concatenate in global order (seq_id, start).
+
+    ``eos_token`` strips ONE trailing EOS per document when set (the
+    separator :func:`pack_sequences` appended). Documents whose tail was
+    dropped with ``drop_last=True`` come back truncated — unpack is
+    lossless against ``drop_last=False`` output (round-trip tested).
+    """
+    frag = packed.select(
+        "seq_id",
+        "tokens",
+        F.explode("doc_spans").alias("s"),
+    ).select(
+        F.col("s")[doc_col].alias(doc_col),
+        "seq_id",
+        F.col("s")["start"].alias("__start"),
+        F.slice("tokens", F.col("s")["start"] + 1, F.col("s")["len"]).alias("__frag"),
+    )
+    parts = F.array_sort(F.collect_list(F.struct("seq_id", "__start", "__frag")))
+    out = frag.groupBy(doc_col).agg(
+        F.flatten(F.transform(parts, lambda x: x["__frag"])).alias("tokens")
+    )
+    if eos_token is not None:
+        n = F.size("tokens")
+        out = out.withColumn(
+            "tokens",
+            F.when(
+                (n > 0) & (F.element_at("tokens", -1) == F.lit(eos_token)),
+                F.slice("tokens", 1, F.greatest(n - 1, F.lit(0))),
+            ).otherwise(F.col("tokens")),
+        )
+    return out

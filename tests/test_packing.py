@@ -262,3 +262,19 @@ def test_pack_explicit_partition_count(spark):
     b = {r["seq_id"]: list(r["tokens"])
          for r in pack_sequences(df, 8).collect()}
     assert a == b and len(a) > 0
+
+
+def test_unpack_round_trips_pack(spark):
+    """unpack(pack(docs)) reproduces every document's token array
+    bit-exactly (drop_last=False), including docs spanning many
+    sequences and the EOS strip."""
+    from htrc_feature_reader_spark.operators.packing import unpack_sequences
+
+    rows = [(f"d{i:03d}", list(range(i * 50, i * 50 + (i * 11) % 37 + 1)))
+            for i in range(30)] + [("dbig", list(range(5000, 5290)))]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    for eos in (None, 7):
+        packed = pack_sequences(df, 64, eos_token=eos, drop_last=False)
+        back = {r["doc_id"]: list(r["tokens"])
+                for r in unpack_sequences(packed, eos_token=eos).collect()}
+        assert back == dict(rows)
