@@ -54,6 +54,7 @@ def pack_sequences(
     eos_token: int | None = None,
     drop_last: bool = True,
     n_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Pack per-document token arrays into fixed-length training sequences.
 
@@ -67,6 +68,19 @@ def pack_sequences(
     executor memory for the checkpoint barrier (the per-partition offset
     table collected to the driver stays one row per partition either
     way).
+
+    ``checkpoint_dir`` picks the durability tier of the step-2 barrier.
+    Default (None) is ``localCheckpoint`` — fastest, but blocks live
+    unreplicated on executors, so on a real cluster an executor loss
+    after the barrier kills the job (lineage is truncated, no recompute
+    path). For production-scale runs pass a fault-tolerant path (HDFS/
+    object store): the barrier becomes a reliable ``checkpoint()``,
+    which persists each partition as-is and preserves both partition
+    boundaries and within-partition order — required here because the
+    sampled range boundaries must be identical for the offsets job and
+    the packing job. Output is bit-identical either way (tested). Note
+    ``setCheckpointDir`` is session-global; the dir is set only when
+    this option is used.
 
     Returns ``(seq_id, tokens, doc_spans, n_docs, n_tok)`` where
     ``doc_spans`` is ``array<struct<start, doc_id, len>>`` — the
@@ -98,8 +112,14 @@ def pack_sequences(
             *([int(n_partitions)] if n_partitions is not None else []), *order_cols
         )
         .sortWithinPartitions(*order_cols)
-        .localCheckpoint(eager=True)  # pin sampled range partitioning (step 2)
     )
+    # step-2 barrier: pin the sampled range partitioning (see docstring
+    # for the localCheckpoint-vs-reliable-checkpoint durability tradeoff)
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        base = base.checkpoint(eager=True)
+    else:
+        base = base.localCheckpoint(eager=True)
 
     # step 3a: per-partition totals -> driver exclusive prefix (one row per
     # partition — thousands, never corpus-sized)
@@ -215,14 +235,45 @@ def sample_mixture(
     One narrow filter, fully pushdown-friendly: Catalyst folds the rate
     lookup into a scan predicate, so at 100 TB the sampled-out rows never
     leave the file scan stage.
+
+    ``key_col`` must be integral (byte/short/int/long) or string; any
+    other type raises — a silent cast of e.g. a struct or double key to
+    NULL would drop every row even at rate 1.0. String keys (native
+    htids) are hashed with the module-family polynomial rolling hash,
+    replayed verbatim by :func:`mixture_sql_predicate`
+    (``string_key=True``). NULL keys are deterministically folded to
+    key 0 / ``''`` (both hash to 0) rather than dropped: the decision
+    stays per-key-deterministic and rate 1.0 keeps the whole corpus.
     """
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
     for s, r in rates.items():
         if not (0.0 <= r <= 1.0):
             raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
-    # reduce mod 2^31-1 BEFORE the multiply: (k % m + seed) * 2654435761
-    # stays under 2^63 (ANSI mode throws on int64 overflow). Keys are
-    # assumed non-negative (ids): plain SQL `%` then matches pmod exactly.
-    k = F.col(key_col).cast("long")
+    dt = df.schema[key_col].dataType
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        # reduce mod 2^31-1 BEFORE the multiply: (k % m + seed) * 2654435761
+        # stays under 2^63 (ANSI mode throws on int64 overflow). pmod keeps
+        # negative keys on the same decision as the oracle's double-mod.
+        k = F.coalesce(F.col(key_col).cast("long"), F.lit(0).cast("long"))
+    elif isinstance(dt, StringType):
+        from .text import rolling_hash
+
+        # rolling_hash is already in [0, 2^31-1): the outer pmod-chain is a
+        # no-op reduction but kept so both key kinds share one expression
+        k = rolling_hash(F.coalesce(F.col(key_col), F.lit("")))
+    else:
+        raise TypeError(
+            f"sample_mixture key_col {key_col!r} has type {dt.simpleString()}; "
+            "only integral or string keys are supported (anything else would "
+            "cast to NULL and silently drop rows)"
+        )
     h = F.pmod(
         (F.pmod(k, F.lit(_MERSENNE)) + F.lit(int(seed))) * F.lit(2654435761),
         F.lit(_MERSENNE),
@@ -234,27 +285,43 @@ def sample_mixture(
     return df.filter(u < rate)
 
 
+ROLLING_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 257 + b) % 2147483647)"
+)
+"""DuckDB replay of :func:`..text.rolling_hash` (base 257, mod 2^31-1) —
+the shared cross-engine string-hash family used by the oracles."""
+
+
 def mixture_sql_predicate(
     rates: dict[str, float],
     key_col: str = "doc_id",
     source_col: str = "source",
     seed: int = 7,
     default_rate: float = 0.0,
+    string_key: bool = False,
 ) -> str:
     """The exact :func:`sample_mixture` keep-predicate as ANSI SQL (for
     DuckDB oracles and cross-engine replays) — same integer arithmetic,
-    same branch order."""
+    same branch order. ``string_key=True`` replays the string-key path
+    (rolling hash, NULL -> ``''``); otherwise integral (NULL -> 0)."""
     m = _MERSENNE
+    if string_key:
+        key = ROLLING_HASH_SQL.format(col=f"COALESCE({key_col}, '')")
+    else:
+        key = f"COALESCE({key_col}, 0)"
     # (key % m + m) % m: plain SQL `%` keeps the dividend's sign, so this
     # double-mod is the pmod equivalent — negative keys then make the SAME
     # decision as Spark's F.pmod instead of silently keeping every row
     u = (
-        f"((((({key_col} % {m}) + {m}) % {m} + {int(seed)}) * 2654435761) % {m})"
+        f"((((({key} % {m}) + {m}) % {m} + {int(seed)}) * 2654435761) % {m})"
         f" / CAST({m} AS DOUBLE)"
     )
     rate = str(float(default_rate))
     for s, r in sorted(rates.items()):
-        rate = f"CASE WHEN {source_col} = '{s}' THEN {float(r)} ELSE {rate} END"
+        lit = s.replace("'", "''")  # a source name with an apostrophe must
+        rate = f"CASE WHEN {source_col} = '{lit}' THEN {float(r)} ELSE {rate} END"
     return f"({u}) < ({rate})"
 
 

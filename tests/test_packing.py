@@ -278,3 +278,64 @@ def test_unpack_round_trips_pack(spark):
         back = {r["doc_id"]: list(r["tokens"])
                 for r in unpack_sequences(packed, eos_token=eos).collect()}
         assert back == dict(rows)
+
+
+def test_pack_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir (reliable checkpoint, the production durability
+    tier) must produce bit-identical sequences to the localCheckpoint
+    default — same range partitioning, same offsets, same spans."""
+    rows = [(f"d{i:03d}", list(range(i * 40, i * 40 + (i * 13) % 29 + 1)))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+    def snap(out):
+        return {r["seq_id"]: (list(r["tokens"]),
+                              [(s["start"], s["doc_id"], s["len"])
+                               for s in r["doc_spans"]])
+                for r in out.collect()}
+
+    local = snap(pack_sequences(df, 32, eos_token=0, drop_last=False))
+    durable = snap(pack_sequences(df, 32, eos_token=0, drop_last=False,
+                                  checkpoint_dir=str(tmp_path / "ckpt")))
+    assert durable == local and len(local) > 0
+    # the reliable checkpoint actually wrote blocks to the chosen dir
+    import os
+    assert any(files for _, _, files in os.walk(tmp_path / "ckpt"))
+
+
+def test_sample_mixture_string_keys_duckdb_parity(spark):
+    """String keys (native htids) hash through the shared rolling-hash
+    family; the DuckDB oracle (string_key=True) replays every decision,
+    including the NULL->'' fold and an apostrophe in a source name."""
+    import duckdb
+
+    rows = [(f"uc2.ark:/13960/t{i:04d}", "web" if i % 3 else "o'reilly")
+            for i in range(600)] + [(None, "web")]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    rates = {"web": 0.4, "o'reilly": 0.9}
+    a = sorted((r["doc_id"] or "") for r in
+               sample_mixture(df, rates, seed=11).collect())
+    pred = mixture_sql_predicate(rates, seed=11, string_key=True)
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    b = sorted((r[0] or "") for r in
+               con.execute(f"select doc_id from docs where {pred}").fetchall())
+    assert a == b and 0 < len(a) < len(rows)
+    # decisions are per-key stable under repartitioning too
+    c = sorted((r["doc_id"] or "") for r in
+               sample_mixture(df.repartition(7), rates, seed=11).collect())
+    assert a == c
+
+
+def test_sample_mixture_rejects_non_hashable_key_types(spark):
+    df = spark.createDataFrame([(1.5, "web")], "doc_id double, source string")
+    with pytest.raises(TypeError, match="integral or string"):
+        sample_mixture(df, {"web": 1.0})
+
+
+def test_sample_mixture_null_keys_kept_at_rate_one(spark):
+    """Rate 1.0 keeps the whole corpus, NULL keys included (they fold to
+    key 0 / '') — the silent-full-drop failure mode is gone."""
+    for schema in ("doc_id long, source string", "doc_id string, source string"):
+        df = spark.createDataFrame([(None, "web"), (None, "web")], schema)
+        assert sample_mixture(df, {"web": 1.0}).count() == 2
