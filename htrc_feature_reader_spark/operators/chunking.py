@@ -206,21 +206,41 @@ def chunk_labels(
             != F.element_at(labs, i.cast("int"))
         ),
     )
+    # Bounds are zipped into the exploded struct as per-page SCALARS: a
+    # post-explode lookup into doc-level arrays would project the full
+    # __pages/__firsts/__lasts arrays onto every exploded per-page row —
+    # an O(pages^2) intermediate per doc. Instead build per-page
+    # (pstart, pend) arrays pre-explode (O(pages) transform with O(1)
+    # element_at lookups, all row-local per doc) and explode the 4-way
+    # zip, so exploded rows carry 4 scalars each.
     staged = per_doc.select(
-        doc_col, "__pages",
-        firsts.alias("__firsts"), lasts.alias("__lasts"), z,
+        doc_col, "__pages", "__labs",
+        firsts.alias("__firsts"), lasts.alias("__lasts"),
     )
-    chunk = F.col("__z.__labs").cast("long")
-    return staged.select(
+    pstarts = F.transform(
+        F.col("__labs"),
+        lambda c: F.element_at(
+            F.col("__pages"), F.element_at("__firsts", c.cast("int")).cast("int")
+        ),
+    )
+    pends = F.transform(
+        F.col("__labs"),
+        lambda c: F.element_at(
+            F.col("__pages"), F.element_at("__lasts", c.cast("int")).cast("int")
+        ),
+    )
+    z4 = F.explode(
+        F.arrays_zip(
+            F.col("__pages"), F.col("__labs"),
+            pstarts.alias("__ps"), pends.alias("__pe"),
+        )
+    ).alias("__z")
+    return staged.select(doc_col, z4).select(
         doc_col,
         F.col("__z.__pages").alias(page_col),
-        chunk.alias("chunk"),
-        F.element_at(
-            F.col("__pages"), F.element_at("__firsts", chunk.cast("int")).cast("int")
-        ).alias("pstart"),
-        F.element_at(
-            F.col("__pages"), F.element_at("__lasts", chunk.cast("int")).cast("int")
-        ).alias("pend"),
+        F.col("__z.__labs").cast("long").alias("chunk"),
+        F.col("__z.__ps").alias("pstart"),
+        F.col("__z.__pe").alias("pend"),
     )
 
 

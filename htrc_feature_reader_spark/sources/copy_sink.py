@@ -144,7 +144,15 @@ def copy_volumes(
         )
     else:
         man = spark.createDataFrame([], "b string, src string")
-    recorded_other = (
+    # Names where at least one planned source differs from a recorded one.
+    # The decision must be per-ROW, not per-name: if recorded source A is
+    # re-copied alongside a new colliding source B, prefixing the whole
+    # name would ALSO prefix A's copy, leaving A's content at both the
+    # plain name (prior run) and the prefixed name — minting exactly the
+    # duplicate this machinery exists to prevent. So ship a
+    # name -> recorded-sources map into the task and prefix only rows
+    # whose own source is not among the recorded ones.
+    conflicting = (
         planned.join(man.withColumnRenamed("src", "__rec_src"), on="b")
         .filter(F.col("src") != F.col("__rec_src"))
         .select("b").distinct()
@@ -164,7 +172,11 @@ def copy_volumes(
         .join(man.select("b"), on="b", how="left_anti")
         .select("b").distinct()
     )
-    dupe_bases |= {r["b"] for r in recorded_other.collect()}
+    rec_src_map = {
+        r["b"]: set(r["srcs"])
+        for r in man.join(conflicting, on="b", how="left_semi")
+        .groupBy("b").agg(F.collect_set("src").alias("srcs")).collect()
+    }
     # Unrecorded (foreign) collisions are resolved IN THE TASK by content
     # compare, not prefixed eagerly: a byte-identical existing file is this
     # very copy published before a crash killed its manifest write — prefix
@@ -207,7 +219,16 @@ def copy_volumes(
                     payload = bytes(content)
                 else:
                     payload = _encode(_decode(bytes(content), src_codec), dst_codec)
-                if final_base in dupe_bases:
+                if (
+                    final_base in dupe_bases or final_base in rec_src_map
+                ) and local not in rec_src_map.get(final_base, set()):
+                    # collision (same-run duplicate basename and/or a
+                    # prior-run record under a different source): prefix —
+                    # UNLESS this row's own source is the recorded one, in
+                    # which case the plain name is its idempotent
+                    # overwrite; prefixing it would leave its content at
+                    # both names, minting the very duplicate this
+                    # machinery prevents
                     final_base = prefixed(final_base, local)
                 elif final_base in foreign_bases:
                     # unrecorded existing file: byte-identical -> same copy

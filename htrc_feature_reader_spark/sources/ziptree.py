@@ -103,7 +103,11 @@ def write_ef_ziptree(
     are overwritten, mirroring the reference resolver's one-volume-at-a-
     time appends (resolvers.py:257-320). Within one job the groupBy
     guarantees a single writer per shard, so read-merge-replace is
-    race-free. Returns a lineage DataFrame (zipfile, n_members, n_bytes)
+    race-free. CONCURRENT populate jobs on one ``dest_dir`` are
+    unsupported (their merges could interleave and lose members) and
+    detected: each shard write takes an advisory ``<shard>.__lock``
+    (atomic O_EXCL) and fails fast with a named error if another job
+    holds it; locks older than an hour (a crashed job) are broken. Returns a lineage DataFrame (zipfile, n_members, n_bytes)
     describing the resulting shards; the write runs when it is
     materialized.
     """
@@ -127,11 +131,39 @@ def write_ef_ziptree(
     )
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        import time
         import zipfile
 
         zname = pdf["__zip"].iloc[0]
         dest = os.path.join(dest_dir, zname)
         tmp = dest + f".__tmp_{os.getpid()}"
+        # Advisory per-shard lock: within one job the groupBy guarantees a
+        # single writer per shard, so a lock conflict means a CONCURRENT
+        # populate job on the same dest_dir — whose read-merge-replace
+        # would interleave with ours and silently lose members. Fail fast
+        # and name the condition instead. O_EXCL is atomic on POSIX and
+        # HDFS-backed NFS; a lock older than _LOCK_STALE_S is from a
+        # crashed job (task retries re-enter here) and is broken.
+        lock = dest + ".__lock"
+        _LOCK_STALE_S = 3600
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.close(fd)
+        except FileExistsError:
+            try:
+                stale = time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
+            except OSError:
+                stale = True  # vanished: the other writer just finished
+            if not stale:
+                raise RuntimeError(
+                    f"concurrent write_ef_ziptree populate detected on shard "
+                    f"{dest!r} (lock {lock!r} held by another job); concurrent "
+                    f"populates of one dest_dir are unsupported — serialize "
+                    f"them, or remove the lock if the other job crashed"
+                )
+            with open(lock, "w") as f:
+                f.write(f"{os.getpid()} {time.time()} (broke stale lock)")
         new: dict[str, bytes] = {}
         for h, js in zip(pdf["__htid"], pdf["__js"]):
             member = resolver_filename(h, "json", compression)
@@ -165,21 +197,27 @@ def write_ef_ziptree(
                     name = name[: -len(ext)]
             return name
 
-        new_stems = {_stem(n) for n in new}
-        carried: dict[str, bytes] = {}
-        if os.path.exists(dest):
-            with zipfile.ZipFile(dest) as old:
-                for name in old.namelist():
-                    if _stem(name) not in new_stems:
-                        carried[name] = old.read(name)
-        n_bytes = 0
-        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
-            # deterministic member order -> byte-stable shards
-            merged = {**carried, **new}
-            for member in sorted(merged):
-                zf.writestr(zipfile.ZipInfo(member), merged[member])
-                n_bytes += len(merged[member])
-        os.replace(tmp, dest)
+        try:
+            new_stems = {_stem(n) for n in new}
+            carried: dict[str, bytes] = {}
+            if os.path.exists(dest):
+                with zipfile.ZipFile(dest) as old:
+                    for name in old.namelist():
+                        if _stem(name) not in new_stems:
+                            carried[name] = old.read(name)
+            n_bytes = 0
+            with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
+                # deterministic member order -> byte-stable shards
+                merged = {**carried, **new}
+                for member in sorted(merged):
+                    zf.writestr(zipfile.ZipInfo(member), merged[member])
+                    n_bytes += len(merged[member])
+            os.replace(tmp, dest)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
         return pd.DataFrame(
             {"zipfile": [dest], "n_members": [len(merged)], "n_bytes": [n_bytes]}
         )

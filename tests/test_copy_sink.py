@@ -161,3 +161,31 @@ def test_crash_window_heals_instead_of_duplicating(spark, tmp_path):
     rec2 = copy_volumes(spark, str(src2), dest).collect()[0]
     assert os.path.basename(rec2["dest"]).endswith(".vol.json")
     assert os.path.basename(rec2["dest"]) != "vol.json"
+
+
+def test_recorded_source_keeps_plain_name_amid_new_collision(spark, tmp_path):
+    """Re-copying recorded source A together with a NEW colliding source
+    B must prefix only B: prefixing A too would leave A's content at both
+    the plain name (prior run) and the prefixed name — a minted
+    duplicate."""
+    src_a = tmp_path / "srcs" / "a" / "vol.json"
+    src_b = tmp_path / "srcs" / "b" / "vol.json"
+    src_a.parent.mkdir(parents=True)
+    src_b.parent.mkdir(parents=True)
+    src_a.write_bytes(b'{"who": "first"}')
+    src_b.write_bytes(b'{"who": "second"}')
+    dest = str(tmp_path / "copies")
+
+    copy_volumes(spark, str(src_a), dest).collect()
+    # one run, BOTH sources (same basename): A recorded, B new
+    recs = {r["src"]: os.path.basename(r["dest"]) for r in copy_volumes(
+        spark, str(tmp_path / "srcs" / "*" / "vol.json"), dest).collect()}
+    assert recs[str(src_a)] == "vol.json"          # A: plain, not prefixed
+    assert recs[str(src_b)].endswith(".vol.json")  # B: hash-prefixed
+    assert recs[str(src_b)] != "vol.json"
+    with open(os.path.join(dest, "vol.json"), "rb") as f:
+        assert f.read() == b'{"who": "first"}'
+    assert len(_dest_files(dest)) == 2  # no duplicate of A's content
+    # and the whole thing is idempotent on a third run
+    copy_volumes(spark, str(tmp_path / "srcs" / "*" / "vol.json"), dest).collect()
+    assert len(_dest_files(dest)) == 2

@@ -141,3 +141,28 @@ def test_ziptree_repopulate_with_different_codec_replaces_member(spark, tmp_path
         names = zf.namelist()
     assert names == [resolver_filename("vol.x", "json", "gz")], names
     assert read_ef_ziptree(spark, f"{dest}/*.zip").count() == 1
+
+
+def test_ziptree_concurrent_populate_detected(spark, tmp_path):
+    """A live advisory lock on a shard (another populate job mid-write)
+    must fail the write loudly instead of interleaving merges; a stale
+    lock from a crashed job is broken and the write proceeds."""
+    import time
+
+    from htrc_feature_reader_spark.sources.ids import ziptree_zipfile
+
+    dest = str(tmp_path / "zt")
+    os.makedirs(dest)
+    docs = spark.createDataFrame(
+        [("uc2.ark:/13960/t0", '{"a": 1}')], "htid string, json string")
+    shard = os.path.join(dest, ziptree_zipfile("uc2.ark:/13960/t0"))
+    lock = shard + ".__lock"
+    with open(lock, "w") as f:
+        f.write("other-job")
+    with pytest.raises(Exception, match="concurrent write_ef_ziptree"):
+        write_ef_ziptree(docs, dest).collect()
+    # stale lock (crashed job): broken, write proceeds, lock released
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    assert write_ef_ziptree(docs, dest).collect()[0]["n_members"] == 1
+    assert os.path.exists(shard) and not os.path.exists(lock)
