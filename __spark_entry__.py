@@ -896,6 +896,156 @@ def _pack_sequences_sql() -> str:
     """
 
 
+# hash-tokenizer driver config: BPE-ish pretokens -> rolling-hash ids
+# folded into a 32768-slot vocab; ids are bit-identical across engines
+# (tokenize_sql), so the checksum is position-weighted and exact.
+_TOK_VOCAB = 32768
+
+
+def _tok_projection(toked):
+    """(doc_id, n_tok, checksum) with checksum = sum(pos * id) — exact
+    int64 (ids < 2^15, positions document-bounded)."""
+    n = F.size("tokens")
+    csum = F.when(
+        n > 0,  # F.sequence(1, 0) would yield a DESCENDING [1, 0]
+        F.aggregate(
+            F.zip_with(
+                "tokens",
+                F.sequence(F.lit(1), n),
+                lambda t, p: t.cast("long") * p.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return toked.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_tok"),
+        csum.alias("checksum"),
+    )
+
+
+def q_tokenize_hash(spark, sf_dir):
+    """Content-deterministic tokenizer: BPE-ish pretokenizer + rolling-hash
+    ids (the model-tokenizer seam's JVM-side default)."""
+    from htrc_feature_reader_spark.operators.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    return _tok_projection(tokenize(docs, vocab_size=_TOK_VOCAB))
+
+
+def _tokenize_hash_sql(where: str = "") -> str:
+    from htrc_feature_reader_spark.operators.text import tokenize_sql
+
+    toks = tokenize_sql("text", vocab_size=_TOK_VOCAB)
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(len(t) AS BIGINT) AS n_tok,
+             CAST(COALESCE(list_sum(
+               list_transform(range(1, len(t) + 1), i -> i * t[i])), 0)
+             AS BIGINT) AS checksum
+      FROM (SELECT doc_id, {toks} AS t FROM documents) {where}
+    """
+
+
+def q_unpack_roundtrip(spark, sf_dir):
+    """End-to-end tokenize -> pack -> unpack lineage audit: unpacking the
+    packed corpus (drop_last=False, EOS=0 stripped) must reproduce every
+    document's token stream exactly — the oracle is the tokenizer
+    identity, so any packing/unpacking drift (lost fragment, misordered
+    span, EOS miscount) breaks the checksum."""
+    from htrc_feature_reader_spark.operators.packing import (
+        pack_sequences,
+        unpack_sequences,
+    )
+    from htrc_feature_reader_spark.operators.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = tokenize(docs, vocab_size=_TOK_VOCAB).select("doc_id", "tokens")
+    packed = pack_sequences(toked, 256, eos_token=0, drop_last=False)
+    return _tok_projection(unpack_sequences(packed, eos_token=0))
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals, row-local zero-shuffle fold; the
+    oracle computes the same statistics set-wise (unnest + GROUP BY)."""
+    from htrc_feature_reader_spark.operators.text import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_features(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_ngram_char_frac",
+    )
+
+
+def _repetition_sql() -> str:
+    return r"""
+      WITH l AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+        FROM documents
+      ), lc AS (
+        SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2
+      ), ls AS (
+        SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+               sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dupchars,
+               sum(c * length(line)) AS total_chars
+        FROM lc GROUP BY 1
+      ), w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        FROM documents
+      ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        FROM w
+      ), gc AS (
+        SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+      ), gtop AS (
+        SELECT doc_id, c, gram,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, gram ASC) AS rk
+        FROM gc
+      )
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             COALESCE((ls.n_lines - ls.n_distinct) / greatest(ls.n_lines, 1),
+                      0.0) AS dup_line_frac,
+             COALESCE(ls.dupchars / greatest(ls.total_chars, 1),
+                      0.0) AS dup_line_char_frac,
+             COALESCE(t.c * length(t.gram) / greatest(length(d.text), 1),
+                      0.0) AS top_ngram_char_frac
+      FROM documents d
+      LEFT JOIN ls ON d.doc_id = ls.doc_id
+      LEFT JOIN (SELECT * FROM gtop WHERE rk = 1) t ON d.doc_id = t.doc_id
+    """
+
+
+def q_take_per_source(spark, sf_dir):
+    """Exact stratified carve: the 7 hash-smallest docs per source (fixed
+    eval/calibration sets), deterministic across engines."""
+    from htrc_feature_reader_spark.operators.packing import take_per_source
+
+    docs = _t(spark, sf_dir, "documents")
+    return take_per_source(docs, 7, seed=13).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source"
+    )
+
+
+def _take_per_source_sql() -> str:
+    from htrc_feature_reader_spark.operators.packing import key_hash_sql
+
+    h = key_hash_sql("doc_id", 13)
+    return f"""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM (
+        SELECT doc_id, source, row_number() OVER (
+          PARTITION BY source ORDER BY ({h}) ASC, doc_id ASC) AS rk
+        FROM documents) WHERE rk <= 7
+    """
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag every training doc sharing a word
     3-gram with the 'eval suite' (here: the texts of doc_id < 5). The
@@ -1562,29 +1712,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so the formal CORRECTNESS artifact (which records the
+    first 50 entries) accumulates at least one green row per query across
+    rounds: queries with NO formal row yet (r1-r3) and this round's new
+    operators come first, then queries with exactly one prior formal row,
+    then a fill of twice-verified queries; the 16 rotated past position
+    50 all hold formal green rows from BOTH r2 and r3 (and stay covered
+    every round by scripts/check_oracle.py over the full surface)."""
     return {
-        "tokenlist_fold": q_tokenlist_fold,
-        "tokenlist_volume": q_tokenlist_volume,
-        "tokenlist_corpus": q_tokenlist_corpus,
-        "page_freq": q_page_freq,
-        "tokens_min_count": q_tokens_min_count,
-        "min_count_window": q_min_count_window,
-        "training_pipeline": q_training_pipeline,
-        "term_doc_freqs": q_term_doc_freqs,
-        "tokens_per_page": q_tokens_per_page,
-        "term_page_pivot": q_term_page_pivot,
-        "line_chars": q_line_chars,
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "nation_revenue": q_nation_revenue,
-        "top_parts_per_brand": q_top_parts_per_brand,
-        "asof_purchase_view": q_asof_purchase_view,
-        "asof_merge_strategy": q_asof_merge_strategy,
-        "asof_salted": q_asof_salted,
+        # --- no formal row yet (r1-r3 artifacts) ---
+        "chunked_tokenlist_ends": q_chunked_tokenlist_ends,
+        "chunked_tokenlist_even": q_chunked_tokenlist_even,
+        "metadata_roundtrip": q_metadata_roundtrip,
+        "section_features_roundtrip": q_section_features_roundtrip,
+        "line_chars_roundtrip": q_line_chars_roundtrip,
+        "page_features_roundtrip": q_page_features_roundtrip,
+        # --- new this round ---
+        "tokenize_hash": q_tokenize_hash,
+        "unpack_roundtrip": q_unpack_roundtrip,
+        "repetition": q_repetition,
+        "take_per_source": q_take_per_source,
+        # --- one formal row so far ---
+        "chunked_tokenlist": q_chunked_tokenlist,
+        "section_group": q_section_group,
+        "multimodal_meta": q_multimodal_meta,
+        "quad_roundtrip": q_quad_roundtrip,
+        "quad_prefold_roundtrip": q_quad_prefold_roundtrip,
+        "ef_json_roundtrip": q_ef_json_roundtrip,
         "asof_auto_salt": q_asof_auto_salt,
-        "asof_forward": q_asof_forward,
+        "dedup_clusters": q_dedup_clusters,
+        "lang_detect": q_lang_detect,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "sample_mixture": q_sample_mixture,
+        # --- twice-formal fill (r2+r3 green) ---
+        "tokenlist_fold": q_tokenlist_fold,
+        "page_freq": q_page_freq,
+        "training_pipeline": q_training_pipeline,
+        "term_page_pivot": q_term_page_pivot,
         "sessionize": q_sessionize,
-        "lag_delta": q_lag_delta,
         "ffill_views": q_ffill_views,
         "bfill_views": q_bfill_views,
         "term_volume_freqs": q_term_volume_freqs,
@@ -1596,35 +1762,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_lsh": q_minhash_lsh,
-        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "quality": q_quality,
         "lang_distribution": q_lang_distribution,
-        "lang_detect": q_lang_detect,
         "tf_idf": q_tf_idf,
         "fingerprint": q_fingerprint,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
-        "sample_mixture": q_sample_mixture,
         "line_dedup": q_line_dedup,
         "bpe_token_count": q_bpe_token_count,
         "stopword_filter": q_stopword_filter,
         "embedding_near_dup": q_embedding_near_dup,
-        "chunked_tokenlist": q_chunked_tokenlist,
-        "chunked_tokenlist_ends": q_chunked_tokenlist_ends,
-        "chunked_tokenlist_even": q_chunked_tokenlist_even,
-        "section_group": q_section_group,
-        "multimodal_meta": q_multimodal_meta,
-        "quad_roundtrip": q_quad_roundtrip,
-        "quad_prefold_roundtrip": q_quad_prefold_roundtrip,
-        "ef_json_roundtrip": q_ef_json_roundtrip,
-        "metadata_roundtrip": q_metadata_roundtrip,
-        "section_features_roundtrip": q_section_features_roundtrip,
-        "line_chars_roundtrip": q_line_chars_roundtrip,
-        "page_features_roundtrip": q_page_features_roundtrip,
+        # --- rotated past the 50-row artifact cap (formal green in BOTH
+        # r2 and r3; still oracle-checked every round via check_oracle) ---
+        "tokenlist_volume": q_tokenlist_volume,
+        "tokenlist_corpus": q_tokenlist_corpus,
+        "tokens_min_count": q_tokens_min_count,
+        "min_count_window": q_min_count_window,
+        "term_doc_freqs": q_term_doc_freqs,
+        "tokens_per_page": q_tokens_per_page,
+        "line_chars": q_line_chars,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "nation_revenue": q_nation_revenue,
+        "top_parts_per_brand": q_top_parts_per_brand,
+        "asof_purchase_view": q_asof_purchase_view,
+        "asof_merge_strategy": q_asof_merge_strategy,
+        "asof_salted": q_asof_salted,
+        "asof_forward": q_asof_forward,
+        "lag_delta": q_lag_delta,
     }
 
 
@@ -2316,6 +2483,11 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(),
         "decontaminate": _decontaminate_sql(),
         "sample_mixture": _sample_mixture_sql(),
+        "tokenize_hash": _tokenize_hash_sql(),
+        # unpack(pack(tokenize(docs))) must be the tokenizer identity
+        "unpack_roundtrip": _tokenize_hash_sql(),
+        "repetition": _repetition_sql(),
+        "take_per_source": _take_per_source_sql(),
         "multimodal_meta": """
           SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
         """,

@@ -31,9 +31,14 @@ from .pipeline import (  # noqa: F401
     clean_corpus,
     survivorship,
 )
-from .text import lang_id, quality_features  # noqa: F401
+from .text import lang_id, quality_features, repetition_features, tokenize  # noqa: F401
 from .vocab import remove_stopwords, restrict_to_vocab  # noqa: F401
 from .embeddings import weighted_embedding_average  # noqa: F401
 from .layout import layout_timeline, write_timeline  # noqa: F401
-from .packing import pack_sequences, sample_mixture, unpack_sequences  # noqa: F401
+from .packing import (  # noqa: F401
+    pack_sequences,
+    sample_mixture,
+    take_per_source,
+    unpack_sequences,
+)
 from .text import tf_idf  # noqa: F401

@@ -215,6 +215,58 @@ def pack_sequences(
     return seqs
 
 
+def _key_hash(df: DataFrame, key_col: str, seed: int):
+    """The shared per-key decision hash, in ``[0, 2^31-1)``: Knuth
+    multiplicative over integral keys, rolling-hash-then-Knuth over string
+    keys (native htids). Raises on any other dtype — a silent cast of e.g.
+    a struct or double key to NULL would break every downstream decision.
+    NULL keys fold deterministically to 0 / ``''`` (both hash alike)."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    dt = df.schema[key_col].dataType
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        # reduce mod 2^31-1 BEFORE the multiply: (k % m + seed) * 2654435761
+        # stays under 2^63 (ANSI mode throws on int64 overflow). pmod keeps
+        # negative keys on the same decision as the oracle's double-mod.
+        k = F.coalesce(F.col(key_col).cast("long"), F.lit(0).cast("long"))
+    elif isinstance(dt, StringType):
+        from .text import rolling_hash
+
+        # rolling_hash is already in [0, 2^31-1): the outer pmod-chain is a
+        # no-op reduction but kept so both key kinds share one expression
+        k = rolling_hash(F.coalesce(F.col(key_col), F.lit("")))
+    else:
+        raise TypeError(
+            f"key_col {key_col!r} has type {dt.simpleString()}; "
+            "only integral or string keys are supported (anything else would "
+            "cast to NULL and silently break per-key decisions)"
+        )
+    return F.pmod(
+        (F.pmod(k, F.lit(_MERSENNE)) + F.lit(int(seed))) * F.lit(2654435761),
+        F.lit(_MERSENNE),
+    )
+
+
+def key_hash_sql(key_col: str, seed: int, string_key: bool = False) -> str:
+    """DuckDB replay of :func:`_key_hash` — identical integer arithmetic,
+    identical NULL fold, for oracles and cross-engine sampling replays."""
+    m = _MERSENNE
+    if string_key:
+        key = ROLLING_HASH_SQL.format(col=f"COALESCE({key_col}, '')")
+    else:
+        key = f"COALESCE({key_col}, 0)"
+    # (key % m + m) % m: plain SQL `%` keeps the dividend's sign, so this
+    # double-mod is the pmod equivalent — negative keys then make the SAME
+    # decision as Spark's F.pmod instead of silently keeping every row
+    return f"(((({key} % {m}) + {m}) % {m} + {int(seed)}) * 2654435761) % {m}"
+
+
 def sample_mixture(
     df: DataFrame,
     rates: dict[str, float],
@@ -256,29 +308,7 @@ def sample_mixture(
     for s, r in rates.items():
         if not (0.0 <= r <= 1.0):
             raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
-    dt = df.schema[key_col].dataType
-    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
-        # reduce mod 2^31-1 BEFORE the multiply: (k % m + seed) * 2654435761
-        # stays under 2^63 (ANSI mode throws on int64 overflow). pmod keeps
-        # negative keys on the same decision as the oracle's double-mod.
-        k = F.coalesce(F.col(key_col).cast("long"), F.lit(0).cast("long"))
-    elif isinstance(dt, StringType):
-        from .text import rolling_hash
-
-        # rolling_hash is already in [0, 2^31-1): the outer pmod-chain is a
-        # no-op reduction but kept so both key kinds share one expression
-        k = rolling_hash(F.coalesce(F.col(key_col), F.lit("")))
-    else:
-        raise TypeError(
-            f"sample_mixture key_col {key_col!r} has type {dt.simpleString()}; "
-            "only integral or string keys are supported (anything else would "
-            "cast to NULL and silently drop rows)"
-        )
-    h = F.pmod(
-        (F.pmod(k, F.lit(_MERSENNE)) + F.lit(int(seed))) * F.lit(2654435761),
-        F.lit(_MERSENNE),
-    )
-    u = h.cast("double") / F.lit(float(_MERSENNE))
+    u = _key_hash(df, key_col, seed).cast("double") / F.lit(float(_MERSENNE))
     rate = F.lit(float(default_rate))
     for s, r in sorted(rates.items()):
         rate = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(rate)
@@ -306,18 +336,7 @@ def mixture_sql_predicate(
     DuckDB oracles and cross-engine replays) — same integer arithmetic,
     same branch order. ``string_key=True`` replays the string-key path
     (rolling hash, NULL -> ``''``); otherwise integral (NULL -> 0)."""
-    m = _MERSENNE
-    if string_key:
-        key = ROLLING_HASH_SQL.format(col=f"COALESCE({key_col}, '')")
-    else:
-        key = f"COALESCE({key_col}, 0)"
-    # (key % m + m) % m: plain SQL `%` keeps the dividend's sign, so this
-    # double-mod is the pmod equivalent — negative keys then make the SAME
-    # decision as Spark's F.pmod instead of silently keeping every row
-    u = (
-        f"((((({key} % {m}) + {m}) % {m} + {int(seed)}) * 2654435761) % {m})"
-        f" / CAST({m} AS DOUBLE)"
-    )
+    u = f"({key_hash_sql(key_col, seed, string_key)}) / CAST({_MERSENNE} AS DOUBLE)"
     rate = str(float(default_rate))
     for s, r in sorted(rates.items()):
         lit = s.replace("'", "''")  # a source name with an apostrophe must
@@ -365,3 +384,35 @@ def unpack_sequences(
             ).otherwise(F.col("tokens")),
         )
     return out
+
+
+def take_per_source(
+    df: DataFrame,
+    n: int,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Exact stratified sample: the ``n`` rows per source whose decision
+    hash is smallest — deterministic across runs, partitionings, and
+    engines (same :func:`_key_hash` family as :func:`sample_mixture`;
+    the DuckDB oracle replays it via :func:`key_hash_sql`), no RNG state.
+
+    Where :func:`sample_mixture` hits a *rate* (no per-source count
+    guarantee on small strata), this hits a *count* — carving fixed-size
+    eval/calibration sets per source. One hash-ordered window per source:
+    a shuffle on ``source_col`` only, no global sort; skewed strata are
+    the caller's signal to pre-split sources. Ties (hash collisions)
+    break on the key itself, so the cut is total-ordered and stable.
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    from pyspark.sql.window import Window
+
+    h = _key_hash(df, key_col, seed)
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(n))
+        .drop("__rk")
+    )

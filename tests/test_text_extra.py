@@ -2,6 +2,7 @@
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from htrc_feature_reader_spark.operators.text import tf_idf
@@ -117,3 +118,119 @@ def test_detect_language_model_hook(spark):
         detect_language(docs, method="model")
     with pytest.raises(ValueError, match="method"):
         detect_language(docs, method="nope")
+
+
+def test_tokenize_hash_counts_and_duckdb_parity(spark):
+    """tokenize(method='hash') ids are bit-identical to the DuckDB replay
+    (tokenize_sql), size(tokens) == bpe_ish_token_count, and vocab_size
+    folds ids into range."""
+    import duckdb
+
+    from htrc_feature_reader_spark.operators.text import (
+        bpe_ish_token_count, tokenize, tokenize_sql)
+
+    texts = ["Hello, world! 42 times.", "a", "", "ünïcode + math == fun",
+             "  spaced   out  "]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    out = tokenize(docs, vocab_size=1000).select(
+        "doc_id", "tokens", bpe_ish_token_count("text").alias("n"))
+    rows = out.collect()
+    assert all(len(r["tokens"]) == r["n"] for r in rows)
+    assert all(0 <= t < 1000 for r in rows for t in r["tokens"])
+    con = duckdb.connect()
+    con.register("d", docs.toPandas())
+    oracle = dict(con.execute(
+        f"select doc_id, {tokenize_sql('text', vocab_size=1000)} from d"
+    ).fetchall())
+    assert {r["doc_id"]: list(r["tokens"]) for r in rows} == \
+        {k: list(v) for k, v in oracle.items()}
+
+
+def test_tokenize_model_hook_feeds_pack(spark):
+    """The tokenizer seam end-to-end: a fake model tokenizer ->
+    pack_sequences -> unpack recovers each doc's ids exactly."""
+    from htrc_feature_reader_spark.operators.packing import (
+        pack_sequences, unpack_sequences)
+    from htrc_feature_reader_spark.operators.text import tokenize
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", " ".join(f"w{j}" for j in range(i + 1)))
+         for i in range(12)], "doc_id string, text string")
+
+    def fake(series):  # deterministic across processes (hash() is not)
+        return [[sum(t.encode()) * 31 + len(w) for w in t.split()]
+                for t in series]
+
+    toks = tokenize(docs, method="model", tokenizer_fn=fake).drop("text")
+    packed = pack_sequences(toks, 16, drop_last=False)
+    back = {r["doc_id"]: list(r["tokens"])
+            for r in unpack_sequences(packed).collect()}
+    exp = {r["doc_id"]: [sum(r["text"].encode()) * 31 + len(w)
+                         for w in r["text"].split()]
+           for r in docs.collect()}
+    assert back == exp
+    with pytest.raises(ValueError, match="tokenizer_fn"):
+        tokenize(docs, method="model")
+    with pytest.raises(ValueError, match="method"):
+        tokenize(docs, method="nope")
+    with pytest.raises(ValueError, match="already exists"):
+        tokenize(docs.withColumn("tokens", F.lit(1)), method="hash")
+
+
+def test_repetition_features_reference_values(spark):
+    """Hand-computed Gopher repetition signals, including the empty-doc,
+    single-word, and tie-break edges."""
+    from htrc_feature_reader_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b\na b\nc d"),       # 1 dup line of 3 chars x2 / 9 line chars
+            (1, "x y x y x y"),          # top 2-gram "x y" 3x? (runs: "x y","y x")
+            (2, ""),
+            (3, "one"),
+            (4, "s\ns\ns"),              # all lines dup
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert got[0]["dup_line_frac"] == pytest.approx(1 / 3)
+    assert got[0]["dup_line_char_frac"] == pytest.approx(6 / 9)
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_char_frac"] == 0.0
+    assert got[2]["top_ngram_char_frac"] == 0.0
+    assert got[3]["top_ngram_char_frac"] == 0.0  # no 2-gram from one word
+    assert got[4]["dup_line_frac"] == pytest.approx(2 / 3)
+    assert got[4]["dup_line_char_frac"] == pytest.approx(1.0)
+    # "x y x y x y": grams x_y x3, y_x x2 -> top = 3*3/11
+    assert got[1]["top_ngram_char_frac"] == pytest.approx(9 / 11)
+
+
+def test_take_per_source_exact_stratified(spark):
+    """Deterministic n-per-source carve: exact counts, stable under
+    repartitioning, same rows from the SQL replay of the hash order."""
+    from htrc_feature_reader_spark.operators.packing import (
+        key_hash_sql, take_per_source)
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(300)], "doc_id long, source string")
+    got = take_per_source(df, 5, seed=9)
+    rows = got.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in rows} == {
+        "src0": 5, "src1": 5, "src2": 5}
+    a = sorted((r["source"], r["doc_id"]) for r in got.collect())
+    b = sorted((r["source"], r["doc_id"])
+               for r in take_per_source(df.repartition(13), 5, seed=9).collect())
+    assert a == b
+    # SQL replay (Spark SQL works for the integral-key hash too)
+    df.createOrReplaceTempView("tps")
+    h = key_hash_sql("doc_id", 9)
+    c = sorted((r["source"], r["doc_id"]) for r in spark.sql(f"""
+        select source, doc_id from (
+          select *, row_number() over (
+            partition by source order by {h} asc, doc_id asc) as rk
+          from tps) where rk <= 5""").collect())
+    assert a == c
+    # a stratum smaller than n yields the whole stratum
+    small = spark.createDataFrame([(1, "s"), (2, "s")], "doc_id long, source string")
+    assert take_per_source(small, 5).count() == 2
