@@ -1046,6 +1046,37 @@ def _take_per_source_sql() -> str:
     """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental digest-store dedup (sources/digest_store.py): round 1
+    indexes the first half of the corpus (doc_id < 250), round 2 ingests
+    the second half against that store — returned survivors are the
+    second-half docs whose content was never seen (store membership) and
+    that win within-batch survivorship (min doc_id per digest). The store
+    dir is wiped first so re-runs are idempotent."""
+    import shutil
+
+    from htrc_feature_reader_spark.sources.digest_store import ingest_batch
+
+    path = _rt_path(sf_dir, "digest_store")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    ingest_batch(docs.filter(F.col("doc_id") < 250), path)
+    out = ingest_batch(docs.filter(F.col("doc_id") >= 250), path)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "digest")
+
+
+def _incremental_dedup_sql() -> str:
+    return """
+      WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents),
+      firsthalf AS (SELECT DISTINCT digest FROM h WHERE doc_id < 250),
+      secondhalf AS (
+        SELECT digest, min(doc_id) AS doc_id
+        FROM h WHERE doc_id >= 250 GROUP BY digest)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, digest
+      FROM secondhalf ANTI JOIN firsthalf USING (digest)
+    """
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag every training doc sharing a word
     3-gram with the 'eval suite' (here: the texts of doc_id < 5). The
@@ -1732,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpack_roundtrip": q_unpack_roundtrip,
         "repetition": q_repetition,
         "take_per_source": q_take_per_source,
+        "incremental_dedup": q_incremental_dedup,
         # --- one formal row so far ---
         "chunked_tokenlist": q_chunked_tokenlist,
         "section_group": q_section_group,
@@ -1772,7 +1804,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "line_dedup": q_line_dedup,
         "bpe_token_count": q_bpe_token_count,
-        "stopword_filter": q_stopword_filter,
         "embedding_near_dup": q_embedding_near_dup,
         # --- rotated past the 50-row artifact cap (formal green in BOTH
         # r2 and r3; still oracle-checked every round via check_oracle) ---
@@ -1792,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_salted": q_asof_salted,
         "asof_forward": q_asof_forward,
         "lag_delta": q_lag_delta,
+        "stopword_filter": q_stopword_filter,
     }
 
 
@@ -2488,6 +2520,7 @@ def oracle_sql() -> dict[str, str]:
         "unpack_roundtrip": _tokenize_hash_sql(),
         "repetition": _repetition_sql(),
         "take_per_source": _take_per_source_sql(),
+        "incremental_dedup": _incremental_dedup_sql(),
         "multimodal_meta": """
           SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
         """,

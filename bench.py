@@ -68,6 +68,8 @@ HEADLINE = [
     "tf_idf",
     "training_pipeline",
     "pack_sequences",
+    "tokenize_hash",
+    "repetition",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_ROWS", "2400000"))

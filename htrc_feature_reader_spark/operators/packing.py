@@ -416,3 +416,38 @@ def take_per_source(
         .filter(F.col("__rk") <= int(n))
         .drop("__rk")
     )
+
+
+def mixture_rates_from_counts(
+    counts: dict[str, int],
+    alpha: float = 0.3,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Turn observed per-source sizes into :func:`sample_mixture` keep
+    rates implementing temperature sampling (multilingual-LM style):
+    sampling probability p_s ∝ count_s^alpha, so ``alpha=1`` keeps natural
+    proportions and ``alpha -> 0`` flattens toward uniform, up-weighting
+    small sources. ``target_total`` scales the recipe to a corpus size
+    (default: the largest total for which no source needs rate > 1 —
+    i.e. the rarest-boosted source is taken whole). Pure driver-side
+    arithmetic on a #sources-sized dict (counts come from a one-row-per-
+    source aggregate, never corpus-sized)."""
+    if not counts:
+        return {}
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if any(c < 0 for c in counts.values()):
+        raise ValueError("counts must be non-negative")
+    pos = {s: c for s, c in counts.items() if c > 0}
+    if not pos:
+        return {s: 0.0 for s in counts}
+    w = {s: c ** alpha for s, c in pos.items()}
+    tot_w = sum(w.values())
+    # rate_s = target_total * (w_s / tot_w) / count_s; the no-oversample
+    # cap is the largest target with max_s rate_s == 1
+    if target_total is None:
+        target_total = min(c * tot_w / w[s] for s, c in pos.items())
+    rates = {
+        s: min(1.0, target_total * w[s] / tot_w / c) for s, c in pos.items()
+    }
+    return {s: rates.get(s, 0.0) for s in counts}

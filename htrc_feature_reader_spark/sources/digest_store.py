@@ -1,0 +1,122 @@
+"""Incremental exact-dedup digest store: index the corpus ONCE, dedup
+every future ingest batch against it.
+
+The reference's one-shot model (and :func:`..operators.dedup.exact_duplicates`)
+dedups a corpus against itself; a production training-data pipeline ingests
+*continuously* and must ask "have we EVER seen this content?" without
+re-scanning 100 TB of history. The store holds one row per distinct
+content digest (16 bytes + provenance) — ~10^4x smaller than the corpus —
+and each ingest is:
+
+1. digest the batch map-side (:func:`..operators.dedup.content_digest`),
+2. keep one survivor per digest WITHIN the batch (min id — same
+   survivorship rule as ``exact_duplicates``),
+3. LEFT ANTI join against the store on digest (AQE picks broadcast for
+   small ingests, shuffle join for bulk backfills — unhinted), and
+4. append the survivors' digests as a new parquet shard —
+   the next batch sees them without any rewrite of prior shards.
+
+Appends are shard-granular (one directory, additive files), so a crashed
+ingest leaves at worst an orphan shard whose digests re-drop the same
+content — convergent, never corpus-corrupting. Re-ingesting an already
+recorded batch is a no-op (anti join drops everything). Concurrent
+ingests of DISJOINT batches are safe (append-only); concurrent ingests
+that share content may both keep a copy — serialize ingests or run a
+periodic ``compact_digest_store`` if that matters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import content_digest
+
+_SCHEMA = "digest string, keep_id long"
+
+
+def read_digest_store(spark: SparkSession, path: str) -> DataFrame:
+    """The store as a DataFrame (digest, keep_id). Empty store (no dir /
+    no shards yet) reads as an empty relation, so first-ingest needs no
+    special casing. Shards may repeat a digest only after concurrent
+    same-content ingests; ``dedup_against_store`` is insensitive to that
+    (anti join), and ``compact_digest_store`` restores one-row-per-digest."""
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
+    ):
+        return spark.createDataFrame([], _SCHEMA)
+    return spark.read.schema(_SCHEMA).parquet(path)
+
+
+def dedup_against_store(
+    docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """Batch rows surviving BOTH within-batch exact dedup (min ``id_col``
+    per digest) and the store (never-seen digests only). Returns the
+    surviving input rows plus their ``digest`` column (so the caller can
+    append them via :func:`append_digests` after downstream filters)."""
+    from pyspark.sql.window import Window
+
+    digested = docs.withColumn("digest", content_digest(text_col, normalize))
+    # within-batch survivorship: one hash-partitioned window (a single
+    # shuffle on digest), no self-join
+    w = Window.partitionBy("digest").orderBy(F.col(id_col).asc())
+    survivors = (
+        digested.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    return survivors.join(
+        store.select("digest"), on="digest", how="left_anti"
+    )
+
+
+def append_digests(
+    survivors: DataFrame, path: str, id_col: str = "doc_id"
+) -> None:
+    """Record a batch's surviving digests as a new store shard (parquet
+    append — additive files, prior shards untouched)."""
+    (
+        survivors.select("digest", F.col(id_col).cast("long").alias("keep_id"))
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def ingest_batch(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """One ingest round: dedup ``docs`` against the store at ``path``,
+    record the survivors' digests, and return the survivors (an EAGER
+    call — the anti join must run before the append so the new shard
+    cannot influence its own batch's decisions)."""
+    spark = docs.sparkSession
+    survivors = dedup_against_store(
+        docs, read_digest_store(spark, path), text_col, id_col, normalize
+    ).localCheckpoint(eager=True)  # pin decisions before the store mutates
+    append_digests(survivors, path, id_col)
+    return survivors
+
+
+def compact_digest_store(spark: SparkSession, path: str) -> None:
+    """Rewrite the store to one row per digest (min keep_id) in one shard
+    set — run periodically if concurrent ingests may have duplicated
+    digests or shard counts have grown past the file-listing comfort
+    zone. Not required for correctness of ``dedup_against_store``."""
+    compacted = (
+        read_digest_store(spark, path)
+        .groupBy("digest")
+        .agg(F.min("keep_id").alias("keep_id"))
+        .localCheckpoint(eager=True)  # fully read before the overwrite
+    )
+    compacted.write.mode("overwrite").parquet(path)

@@ -339,3 +339,30 @@ def test_sample_mixture_null_keys_kept_at_rate_one(spark):
     for schema in ("doc_id long, source string", "doc_id string, source string"):
         df = spark.createDataFrame([(None, "web"), (None, "web")], schema)
         assert sample_mixture(df, {"web": 1.0}).count() == 2
+
+
+def test_mixture_rates_from_counts_temperature():
+    from htrc_feature_reader_spark.operators.packing import (
+        mixture_rates_from_counts, sample_mixture)
+
+    counts = {"web": 1_000_000, "code": 10_000, "books": 100_000}
+    # alpha=1: natural proportions -> every rate equal (take-all cap)
+    nat = mixture_rates_from_counts(counts, alpha=1.0)
+    assert all(abs(r - 1.0) < 1e-12 for r in nat.values())
+    # alpha=0.3 flattens: the smallest source is taken whole, the largest
+    # at the lowest rate, expected counts follow c^alpha proportions
+    r = mixture_rates_from_counts(counts, alpha=0.3)
+    assert r["code"] == pytest.approx(1.0)
+    assert r["web"] < r["books"] < 1.0
+    exp = {s: r[s] * c for s, c in counts.items()}
+    assert exp["web"] / exp["code"] == pytest.approx(
+        (counts["web"] / counts["code"]) ** 0.3)
+    # explicit target scales down proportionally
+    half = mixture_rates_from_counts(counts, alpha=0.3,
+                                     target_total=sum(exp.values()) / 2)
+    assert all(half[s] == pytest.approx(r[s] / 2) for s in counts)
+    # degenerate inputs
+    assert mixture_rates_from_counts({}) == {}
+    assert mixture_rates_from_counts({"a": 0}) == {"a": 0.0}
+    with pytest.raises(ValueError):
+        mixture_rates_from_counts(counts, alpha=-1)

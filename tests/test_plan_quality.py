@@ -155,3 +155,38 @@ def test_sample_mixture_is_scan_predicate(spark, tmp_path):
     # the whole predicate is a PushedFilters/data-filter candidate: at
     # minimum the scan carries both referenced columns and a Filter node
     assert plan.count(") Filter") == 1
+
+
+def test_tokenize_hash_and_repetition_stay_jvm_side(spark):
+    """The hash tokenizer and the repetition folds are pure Catalyst —
+    zero Python-eval operators, zero exchanges (map-only stages at any
+    scale); sample_mixture's string-key path folds into the scan filter
+    the same way the integral path does."""
+    from htrc_feature_reader_spark.operators.packing import sample_mixture
+    from htrc_feature_reader_spark.operators.text import (
+        repetition_features, tokenize)
+
+    docs = spark.createDataFrame(
+        [("d1", "some text here", "web")], "doc_id string, text string, source string")
+    for df in (tokenize(docs, vocab_size=1000),
+               repetition_features(docs),
+               sample_mixture(docs, {"web": 0.5})):
+        plan = _formatted(df)
+        for op in ("BatchEvalPython", "ArrowEvalPython",
+                   "FlatMapGroupsInPandas", "Exchange"):
+            assert op not in plan, f"{op} in plan:\n{plan}"
+
+
+def test_take_per_source_single_exchange(spark):
+    """The stratified carve shuffles ONCE (hash partition on source for
+    the window); no Python, no extra exchange."""
+    from htrc_feature_reader_spark.operators.packing import take_per_source
+
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "web")], "doc_id long, source string")
+    plan = _formatted(take_per_source(docs, 5))
+    assert plan.count(") Exchange") == 1
+    # partial WindowGroupLimit before the shuffle = map-side top-n combine
+    assert plan.count(") WindowGroupLimit") == 2
+    for op in ("BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan
