@@ -1046,6 +1046,169 @@ def _take_per_source_sql() -> str:
     """
 
 
+def q_split_by_hash(spark, sf_dir):
+    """Deterministic train/val/test carve (operators/packing.py:
+    split_by_hash): integer-threshold hash intervals, disjoint and stable
+    under corpus growth; the oracle replays the exact CASE expression."""
+    from htrc_feature_reader_spark.operators.packing import split_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_by_hash(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=101
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "split")
+
+
+def _split_by_hash_sql() -> str:
+    from htrc_feature_reader_spark.operators.packing import split_sql_case
+
+    c = split_sql_case({"train": 0.9, "val": 0.05, "test": 0.05}, "doc_id", 101)
+    return f"SELECT CAST(doc_id AS BIGINT) AS doc_id, {c} AS split FROM documents"
+
+
+def q_shuffle_order(spark, sf_dir):
+    """Training-shard shuffle layout (operators/packing.py:
+    shuffle_sequences): a deterministic pseudo-random global order via a
+    range sort on the decision hash. The driver compare is
+    order-insensitive, so the emitted shuffle_key IS the evidence (equal
+    keys = equal permutation); global sortedness across partitions is
+    pytest-asserted."""
+    from htrc_feature_reader_spark.operators.packing import shuffle_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_sequences(docs, key_col="doc_id", seed=29).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "shuffle_key"
+    )
+
+
+def _shuffle_order_sql() -> str:
+    from htrc_feature_reader_spark.operators.packing import shuffle_key_sql
+
+    h = shuffle_key_sql("doc_id", 29)
+    return f"SELECT CAST(doc_id AS BIGINT) AS doc_id, ({h}) AS shuffle_key FROM documents"
+
+
+def q_length_bucket(spark, sf_dir):
+    """Padding-efficient batch bucketing (operators/packing.py:
+    length_bucket) over document lengths: bucket i = #boundaries <= len."""
+    from htrc_feature_reader_spark.operators.packing import length_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_bucket(docs, [200, 400, 800], len_col="n_chars").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "bucket",
+    )
+
+
+def _length_bucket_sql() -> str:
+    return """
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(list_filter([200, 400, 800], b -> b <= n_chars)) AS INT)
+               AS bucket
+      FROM documents
+    """
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 weights (operators/text.py:bm25) over the whitespace
+    token counts — same lazy 1-row corpus-constant pattern as tf_idf, plus
+    doc-length normalization (avgdl rides in the same broadcast row)."""
+    from htrc_feature_reader_spark.operators.text import bm25
+
+    tl = _doc_tokens(spark, sf_dir).groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    out = bm25(tl, doc_col="doc_id", token_col="token", count_col="count")
+    return out.select(
+        "doc_id", "token", "tc", "doc_total", "df",
+        F.round("bm25", 9).alias("bm25_9"),
+    )
+
+
+def _bm25_sql() -> str:
+    return f"""
+      WITH per AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tc
+        FROM ({_SQL_TOKENS}) GROUP BY 1, 2),
+      totals AS (SELECT doc_id, CAST(sum(tc) AS BIGINT) AS doc_total
+                 FROM per GROUP BY 1),
+      corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        avg(doc_total) AS avgdl FROM totals),
+      dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM per GROUP BY 1)
+      SELECT per.doc_id, per.token, per.tc, totals.doc_total, dfreq.df,
+             round(ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * per.tc * 2.2
+                   / (per.tc + 1.2 * (0.25 + 0.75 * totals.doc_total
+                                              / corpus.avgdl)), 9) AS bm25_9
+      FROM per
+      JOIN totals USING (doc_id)
+      JOIN dfreq USING (token), corpus
+    """
+
+
+def q_pii(spark, sf_dir):
+    """PII detection + redaction (operators/text.py: pii_features,
+    redact_pii). The corpus is synthetic word salad with no real contact
+    data, so the query deterministically plants typed PII derived from
+    doc_id (same expression on both engines), then counts each kind and
+    md5-fingerprints the redacted text — the hash pins the full redaction
+    output, not just the counts."""
+    from htrc_feature_reader_spark.operators.text import (
+        pii_features,
+        redact_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"), F.col("doc_id"), F.lit("@ex.com ip 10.0."),
+            (F.col("doc_id") % 250).cast("string"), F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789"))
+             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" tel +1 555 123 4567"))
+             .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_pii(pii_features(planted), out_col="clean")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pii_email", "pii_ipv4", "pii_ssn", "pii_phone", "pii_total",
+        F.md5(F.col("clean").cast("binary")).alias("clean_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    from htrc_feature_reader_spark.operators.text import PII_PATTERNS
+
+    planted = (
+        "text || ' mail u' || doc_id || '@ex.com ip 10.0.' || (doc_id % 250)"
+        " || '.' || (doc_id % 100)"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' tel +1 555 123 4567' ELSE '' END"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{p}')) AS INT) AS pii_{kind}"
+        for kind, p in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"pii_{kind}" for kind in PII_PATTERNS)
+    red = "t"
+    for kind, p in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{p}', '<{kind}>', 'g')"
+    return f"""
+      WITH planted AS (SELECT doc_id, {planted} AS t FROM documents),
+      counted AS (SELECT doc_id, t, {counts} FROM planted)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             pii_email, pii_ipv4, pii_ssn, pii_phone,
+             CAST({total} AS INT) AS pii_total, md5({red}) AS clean_md5
+      FROM counted
+    """
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental digest-store dedup (sources/digest_store.py): round 1
     indexes the first half of the corpus (doc_id < 250), round 2 ingests
@@ -1764,6 +1927,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "take_per_source": q_take_per_source,
         "incremental_dedup": q_incremental_dedup,
+        "split_by_hash": q_split_by_hash,
+        "shuffle_order": q_shuffle_order,
+        "length_bucket": q_length_bucket,
+        "bm25": q_bm25,
+        "pii": q_pii,
         # --- one formal row so far ---
         "chunked_tokenlist": q_chunked_tokenlist,
         "section_group": q_section_group,
@@ -1801,12 +1969,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_distribution": q_lang_distribution,
         "tf_idf": q_tf_idf,
-        "fingerprint": q_fingerprint,
-        "line_dedup": q_line_dedup,
-        "bpe_token_count": q_bpe_token_count,
         "embedding_near_dup": q_embedding_near_dup,
         # --- rotated past the 50-row artifact cap (formal green in BOTH
         # r2 and r3; still oracle-checked every round via check_oracle) ---
+        "fingerprint": q_fingerprint,
+        "line_dedup": q_line_dedup,
+        "bpe_token_count": q_bpe_token_count,
         "tokenlist_volume": q_tokenlist_volume,
         "tokenlist_corpus": q_tokenlist_corpus,
         "tokens_min_count": q_tokens_min_count,
@@ -2521,6 +2689,11 @@ def oracle_sql() -> dict[str, str]:
         "repetition": _repetition_sql(),
         "take_per_source": _take_per_source_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
+        "split_by_hash": _split_by_hash_sql(),
+        "shuffle_order": _shuffle_order_sql(),
+        "length_bucket": _length_bucket_sql(),
+        "bm25": _bm25_sql(),
+        "pii": _pii_sql(),
         "multimodal_meta": """
           SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
         """,

@@ -215,12 +215,37 @@ def pack_sequences(
     return seqs
 
 
+def _seed_mult(seed: int) -> int:
+    """Per-seed odd multiplier in ``[2^31, 2^31 + 2^30)``. The seed MUST
+    change the hash's multiplicative slope, not just shift it: with a
+    fixed multiplier every h_seed is the same affine map of the key plus
+    a constant, so any two seeds are perfectly correlated (a rotation of
+    one permutation — e.g. a rate-0.2 sample at seed A would land inside
+    a contiguous 0.2-wide hash interval at seed B, making an
+    'independent' split anything from 0% to 100% train). And the slopes
+    must differ by ~2^31-sized amounts, not by O(seed): a slope delta d
+    only decorrelates keys once d*k wraps the modulus, i.e. key ranges
+    past m/d. Hence a driver-side splitmix scramble of the seed (inlined
+    as a literal into both the Spark expression and the SQL replay — it
+    never needs to be computable in either engine). The high bit keeps
+    products wrapping the Mersenne modulus even for small keys; the
+    30-bit cap keeps ``(k%m + seed) * mult`` under 2^63 (ANSI overflow);
+    OR 1 keeps it odd."""
+    if not (0 <= seed <= (1 << 27)):
+        raise ValueError(f"seed must be in [0, 2^27], got {seed}")
+    x = (int(seed) + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+    x ^= x >> 31
+    return (1 << 31) | (x % (1 << 30)) | 1
+
+
 def _key_hash(df: DataFrame, key_col: str, seed: int):
-    """The shared per-key decision hash, in ``[0, 2^31-1)``: Knuth
+    """The shared per-key decision hash, in ``[0, 2^31-1)``: Knuth-style
     multiplicative over integral keys, rolling-hash-then-Knuth over string
-    keys (native htids). Raises on any other dtype — a silent cast of e.g.
-    a struct or double key to NULL would break every downstream decision.
-    NULL keys fold deterministically to 0 / ``''`` (both hash alike)."""
+    keys (native htids), with a per-seed multiplier (:func:`_seed_mult`)
+    so distinct seeds give decorrelated decisions. Raises on any other
+    dtype — a silent cast of e.g. a struct or double key to NULL would
+    break every downstream decision. NULL keys fold deterministically to
+    0 / ``''`` (both hash alike)."""
     from pyspark.sql.types import (
         ByteType,
         IntegerType,
@@ -231,7 +256,7 @@ def _key_hash(df: DataFrame, key_col: str, seed: int):
 
     dt = df.schema[key_col].dataType
     if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
-        # reduce mod 2^31-1 BEFORE the multiply: (k % m + seed) * 2654435761
+        # reduce mod 2^31-1 BEFORE the multiply: (k % m + seed) * mult
         # stays under 2^63 (ANSI mode throws on int64 overflow). pmod keeps
         # negative keys on the same decision as the oracle's double-mod.
         k = F.coalesce(F.col(key_col).cast("long"), F.lit(0).cast("long"))
@@ -248,7 +273,8 @@ def _key_hash(df: DataFrame, key_col: str, seed: int):
             "cast to NULL and silently break per-key decisions)"
         )
     return F.pmod(
-        (F.pmod(k, F.lit(_MERSENNE)) + F.lit(int(seed))) * F.lit(2654435761),
+        (F.pmod(k, F.lit(_MERSENNE)) + F.lit(int(seed)))
+        * F.lit(_seed_mult(seed)),
         F.lit(_MERSENNE),
     )
 
@@ -264,7 +290,9 @@ def key_hash_sql(key_col: str, seed: int, string_key: bool = False) -> str:
     # (key % m + m) % m: plain SQL `%` keeps the dividend's sign, so this
     # double-mod is the pmod equivalent — negative keys then make the SAME
     # decision as Spark's F.pmod instead of silently keeping every row
-    return f"(((({key} % {m}) + {m}) % {m} + {int(seed)}) * 2654435761) % {m}"
+    return (
+        f"(((({key} % {m}) + {m}) % {m} + {int(seed)}) * {_seed_mult(seed)}) % {m}"
+    )
 
 
 def sample_mixture(
@@ -451,3 +479,171 @@ def mixture_rates_from_counts(
         s: min(1.0, target_total * w[s] / tot_w / c) for s, c in pos.items()
     }
     return {s: rates.get(s, 0.0) for s in counts}
+
+
+def _split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative INTEGER hash thresholds for :func:`split_by_hash` /
+    :func:`split_sql_case` — one shared derivation so both engines compare
+    the same exact integers (no float-edge flakiness at split borders)."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = 0.0
+    out = []
+    for name, f in fractions.items():
+        if not (0.0 < f <= 1.0):
+            raise ValueError(f"fraction for {name!r} must be in (0, 1], got {f}")
+        total += f
+        out.append((name, int(total * _MERSENNE)))
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    if abs(total - 1.0) <= 1e-9:
+        # exhaustive recipe: pin the last threshold to the hash range's top
+        # so float rounding can never orphan the max-hash keys
+        out[-1] = (out[-1][0], _MERSENNE)
+    return out
+
+
+def split_by_hash(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 101,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test carve: label each row by where its
+    decision hash lands in cumulative ``fractions`` intervals. Splits are
+    disjoint and stable by construction — a document's split never changes
+    across runs, partitionings, engines, or corpus growth (the decision
+    depends only on (key, seed), never on other rows), which is the
+    property eval hygiene actually needs: re-ingesting 10 TB more data
+    cannot silently move yesterday's test docs into train.
+
+    All comparisons happen in integer space (:func:`_split_thresholds`),
+    so the DuckDB replay (:func:`split_sql_case`) is bit-identical even AT
+    the split boundaries. Fractions may sum to < 1 (rows past the total
+    get a NULL label — a holdout you haven't assigned yet); a sum of 1 is
+    exhaustive by construction. One narrow projection, no shuffle; a
+    downstream ``filter(split = 'train')`` folds into the scan predicate.
+    Same key-type contract as :func:`sample_mixture` (integral or string
+    keys, NULLs fold to key 0 / ``''``).
+
+    Use a DIFFERENT seed than any :func:`sample_mixture` call on the same
+    key column: the hash family is shared, so equal seeds would correlate
+    the split with the sampling decision (e.g. rate-0.1 sampling at seed s
+    would land entirely inside a 0.1 'train' fraction at seed s).
+    """
+    h = _key_hash(df, key_col, seed)
+    expr = F.lit(None).cast("string")
+    for name, t in reversed(_split_thresholds(fractions)):
+        expr = F.when(h < F.lit(t), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def split_sql_case(
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 101,
+    string_key: bool = False,
+) -> str:
+    """The :func:`split_by_hash` label as one ANSI-SQL CASE expression —
+    same integer thresholds, same branch order, for oracles and
+    cross-engine replays."""
+    h = key_hash_sql(key_col, seed, string_key)
+    arms = "".join(
+        f" WHEN ({h}) < {t} THEN '" + name.replace("'", "''") + "'"
+        for name, t in _split_thresholds(fractions)
+    )
+    return f"CASE{arms} ELSE NULL END"
+
+
+def _mix(h, seed: int):
+    """Nonlinear finalizer over a ``[0, 2^31)`` hash: XOR-shift, odd
+    multiply mod the Mersenne, XOR-shift (murmur/splitmix style). Breaks
+    the affine lattice of :func:`_key_hash` for order-sensitive uses
+    (:func:`shuffle_sequences`); interval-membership uses (sampling,
+    splits) don't need it. Exact 64-bit integer ops only — replayed
+    bit-for-bit by :func:`_mix_sql`."""
+    h = h.bitwiseXOR(F.shiftright(h, 15))
+    h = F.pmod(h * F.lit(_seed_mult(seed + 0x5BD1)), F.lit(_MERSENNE))
+    return h.bitwiseXOR(F.shiftright(h, 13))
+
+
+def _mix_sql(h: str, seed: int) -> str:
+    """DuckDB replay of :func:`_mix` (same rounds, same constants)."""
+    m = _MERSENNE
+    h1 = f"xor(({h}), ({h}) >> 15)"
+    h2 = f"(({h1}) * {_seed_mult(seed + 0x5BD1)}) % {m}"
+    return f"xor(({h2}), ({h2}) >> 13)"
+
+
+def shuffle_key_sql(key_col: str, seed: int, string_key: bool = False) -> str:
+    """The :func:`shuffle_sequences` ``shuffle_key`` as ANSI SQL."""
+    return _mix_sql(key_hash_sql(key_col, seed, string_key), seed)
+
+
+def shuffle_sequences(
+    df: DataFrame,
+    key_col: str = "seq_id",
+    seed: int = 29,
+    out_col: str = "shuffle_key",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global pseudo-random reordering for training-shard
+    writes: attach ``out_col`` (the key's decision hash) and lay the data
+    out globally sorted by it — a distributed range sort (sampled
+    boundaries, one exchange), never a single-partition total sort. Ties
+    (hash collisions) break on the key, so the order is total and
+    reproducible run-over-run.
+
+    Packed sequences come out of :func:`pack_sequences` ordered by the
+    corpus scan; training wants them decorrelated. Writing this frame
+    preserves the layout (files ascend by ``out_col``), so a data loader
+    reading shards in file order replays one fixed global permutation —
+    re-shuffling per epoch is a seed change, not a new algorithm.
+
+    The shuffle key is :func:`_key_hash` pushed through a murmur-style
+    XOR-shift finalizer (:func:`_mix`): the bare hash is affine in the
+    key, so contiguous key ranges would land on an arithmetic-progression
+    lattice (batch j = a stride pattern over the corpus, not a random
+    draw). No chain of affine rounds can fix that — affine maps compose
+    to affine — hence the nonlinear rounds. Replayed bit-exactly in SQL
+    by :func:`shuffle_key_sql`.
+    """
+    h = _mix(_key_hash(df, key_col, seed), seed)
+    out = df.withColumn(out_col, h)
+    parts = [F.col(out_col), F.col(key_col)]
+    if num_partitions is None:
+        out = out.repartitionByRange(*parts)
+    else:
+        out = out.repartitionByRange(int(num_partitions), *parts)
+    return out.sortWithinPartitions(*parts)
+
+
+def length_bucket(
+    df: DataFrame,
+    boundaries: list[int],
+    len_col: str | None = None,
+    tokens_col: str = "tokens",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Bucket rows by length for padding-efficient batching: bucket i
+    holds lengths in [boundaries[i-1], boundaries[i]), bucket 0 everything
+    below the first boundary, bucket len(boundaries) everything at or
+    above the last. Batching same-bucket sequences bounds pad waste by the
+    bucket's width — the standard fix for quadratic attention cost on
+    ragged batches.
+
+    Length is ``len_col`` when given, else ``size(tokens_col)``. One
+    branch-free expression (count the boundaries <= length via a literal
+    array filter), pure Catalyst; the DuckDB oracle replays it with
+    ``list_filter``. Boundaries must be strictly increasing.
+    """
+    if not boundaries or any(
+        b2 <= b1 for b1, b2 in zip(boundaries, boundaries[1:])
+    ):
+        raise ValueError(f"boundaries must be strictly increasing, got {boundaries}")
+    n = F.col(len_col) if len_col else F.size(tokens_col)
+    arr = F.array(*[F.lit(int(b)) for b in boundaries])
+    return df.withColumn(
+        out_col, F.size(F.filter(arr, lambda b: b <= n)).cast("int")
+    )

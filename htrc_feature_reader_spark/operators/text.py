@@ -469,3 +469,108 @@ def remove_duplicate_lines(
     return docs.join(rebuilt, on=id_col, how="left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(""))
     )
+
+
+def bm25(
+    token_counts: DataFrame,
+    doc_col: str = "htid",
+    token_col: str = "token",
+    count_col: str = "count",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 weight per (doc, token) over a long token-count table —
+    the retrieval-grade sibling of :func:`tf_idf` (tf saturation via
+    ``k1``, doc-length normalization via ``b``), for corpus quality
+    scoring and dedup-aware retrieval indexes.
+
+    Same plan shape as :func:`tf_idf` and the same laziness argument: two
+    aggregations (doc totals, document frequencies), the corpus constants
+    N and avgdl ride along as a broadcast single-row aggregate folded
+    onto the vocabulary-sized doc-frequency table — no driver-side count
+    pre-pass, one action at execution time.  idf uses the standard
+    non-negative smoothing ln(1 + (N - df + 0.5)/(df + 0.5)).
+    """
+    per = token_counts.groupBy(doc_col, token_col).agg(
+        F.sum(count_col).alias("tc")
+    )
+    doc_totals = per.groupBy(doc_col).agg(F.sum("tc").alias("doc_total"))
+    corpus = doc_totals.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.avg("doc_total").alias("__avgdl"),
+    )
+    dfreq = per.groupBy(token_col).agg(
+        F.countDistinct(doc_col).alias("df")
+    ).join(F.broadcast(corpus))  # 1-row cross join: df + N + avgdl
+    tc = F.col("tc").cast("double")
+    norm = F.lit(float(k1)) * (
+        F.lit(1.0 - float(b))
+        + F.lit(float(b)) * F.col("doc_total") / F.col("__avgdl")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    out = (
+        per.join(doc_totals, on=doc_col)
+        .join(F.broadcast(dfreq), on=token_col)
+        .withColumn("idf", idf)
+        .withColumn(
+            "bm25",
+            F.col("idf") * tc * F.lit(float(k1) + 1.0) / (tc + norm),
+        )
+    )
+    return out.select(doc_col, token_col, "tc", "doc_total", "df", "idf", "bm25")
+
+
+# PII surface patterns — deliberately lookaround-free so the exact same
+# pattern strings run under Java regex (Spark) and RE2 (DuckDB/Go) with
+# identical match sets. Detection heuristics, not a compliance guarantee.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+\d[\d()\- ]{7,14}\d",
+}
+
+
+def pii_features(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Per-document PII surface counts (``pii_<kind>`` columns + a
+    ``pii_total``) — the filter signal for 'drop or redact documents
+    leaking contact data' pipeline stages. Pure Catalyst ``regexp_count``
+    projections: zero shuffle, zero Python, scan-stage cost only.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = df
+    for kind, pat in pats.items():
+        out = out.withColumn(
+            f"pii_{kind}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    total = None
+    for kind in pats:
+        c = F.col(f"pii_{kind}")
+        total = c if total is None else total + c
+    return out.withColumn("pii_total", total)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    patterns: dict[str, str] | None = None,
+    template: str = "<{kind}>",
+) -> DataFrame:
+    """Replace PII matches with typed placeholder tokens (``<email>``,
+    ``<ipv4>``, ...) instead of dropping the document — keeps the prose as
+    training signal while removing the contact data. A chain of
+    ``regexp_replace`` projections applied in dict order (order matters:
+    e.g. ipv4 before phone keeps dotted quads from half-matching the
+    phone pattern), map-only at any scale.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    c = F.col(text_col)
+    for kind, pat in pats.items():
+        c = F.regexp_replace(c, F.lit(pat), F.lit(template.format(kind=kind)))
+    return df.withColumn(out_col or text_col, c)

@@ -190,3 +190,46 @@ def test_take_per_source_single_exchange(spark):
     assert plan.count(") WindowGroupLimit") == 2
     for op in ("BatchEvalPython", "ArrowEvalPython"):
         assert op not in plan
+
+
+def test_split_and_pii_are_map_only(spark):
+    """split_by_hash labels and PII detect/redact are pure projections —
+    zero exchanges, zero Python; a filter on the split label is a scan
+    predicate away from partition pruning."""
+    from htrc_feature_reader_spark.operators.packing import split_by_hash
+    from htrc_feature_reader_spark.operators.text import (
+        pii_features, redact_pii)
+
+    docs = spark.createDataFrame(
+        [(1, "text a@b.co here")], "doc_id long, text string")
+    for df in (split_by_hash(docs, {"train": 0.9, "test": 0.1}),
+               pii_features(docs), redact_pii(docs)):
+        plan = _formatted(df)
+        for op in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
+                   "MapInPandas"):
+            assert op not in plan, f"{op} in plan:\n{plan}"
+
+
+def test_shuffle_sequences_single_range_exchange(spark):
+    """The global pseudo-random layout is ONE rangepartitioning exchange
+    (distributed sort), never a single-partition total sort."""
+    from htrc_feature_reader_spark.operators.packing import shuffle_sequences
+
+    docs = spark.createDataFrame([(1,), (2,)], "seq_id long")
+    plan = _formatted(shuffle_sequences(docs))
+    assert plan.count(") Exchange") == 1
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bm25_no_corpus_cartesian(spark):
+    """bm25's only cross join is the broadcast 1-row corpus-constants
+    funnel: no CartesianProduct, no Python, and construction runs no job."""
+    from htrc_feature_reader_spark.operators.text import bm25
+
+    tc = spark.createDataFrame(
+        [("d", "t", 1)], "htid string, token string, count long")
+    plan = _formatted(bm25(tc))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count(") BroadcastNestedLoopJoin") == 1  # the 1-row funnel
