@@ -1209,6 +1209,36 @@ def _pii_sql() -> str:
     """
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Dataset-card summary (operators/stats.py: corpus_stats): one
+    partial+final aggregate to a #sources-sized table with EXACT
+    interpolated quantiles (engine-portable, unlike approx_percentile);
+    the share column's unpartitioned window runs on the tiny aggregate,
+    never the corpus. Floats rounded to 9 for the value hash."""
+    from htrc_feature_reader_spark.operators.stats import corpus_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus_stats(docs)
+    return out.select(
+        "source", "n_docs", "total_len",
+        F.round("mean_len", 9).alias("mean_len9"),
+        "min_len", "max_len", "q50", "q90", "q99",
+        F.round("doc_share", 9).alias("doc_share9"),
+    )
+
+
+def _corpus_stats_sql() -> str:
+    from htrc_feature_reader_spark.operators.stats import corpus_stats_sql
+
+    return f"""
+      SELECT source, n_docs, total_len,
+             round(mean_len, 9) AS mean_len9,
+             min_len, max_len, q50, q90, q99,
+             round(doc_share, 9) AS doc_share9
+      FROM ({corpus_stats_sql()})
+    """
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental digest-store dedup (sources/digest_store.py): round 1
     indexes the first half of the corpus (doc_id < 250), round 2 ingests
@@ -1932,6 +1962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket": q_length_bucket,
         "bm25": q_bm25,
         "pii": q_pii,
+        "corpus_stats": q_corpus_stats,
         # --- one formal row so far ---
         "chunked_tokenlist": q_chunked_tokenlist,
         "section_group": q_section_group,
@@ -1967,11 +1998,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_topk": q_ivf_topk,
         "quality": q_quality,
-        "lang_distribution": q_lang_distribution,
-        "tf_idf": q_tf_idf,
-        "embedding_near_dup": q_embedding_near_dup,
         # --- rotated past the 50-row artifact cap (formal green in BOTH
         # r2 and r3; still oracle-checked every round via check_oracle) ---
+        "tf_idf": q_tf_idf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lang_distribution": q_lang_distribution,
         "fingerprint": q_fingerprint,
         "line_dedup": q_line_dedup,
         "bpe_token_count": q_bpe_token_count,
@@ -2694,6 +2725,7 @@ def oracle_sql() -> dict[str, str]:
         "length_bucket": _length_bucket_sql(),
         "bm25": _bm25_sql(),
         "pii": _pii_sql(),
+        "corpus_stats": _corpus_stats_sql(),
         "multimodal_meta": """
           SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
         """,

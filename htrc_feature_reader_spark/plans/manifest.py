@@ -144,7 +144,18 @@ def _diff_output(spark: SparkSession, path: str) -> dict[str, str] | None:
     if not pcol:
         return None
     try:
-        stored = spark.read.parquet(path)
+        # The manifest keys partitions by the STRING value written into
+        # the directory name; partition type inference would read
+        # bucket=002 back as int 2 and every digest would "mismatch".
+        # Inference runs eagerly at read time, so toggling the conf
+        # around the read call is sufficient.
+        infer = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(infer)
+        spark.conf.set(infer, "false")
+        try:
+            stored = spark.read.parquet(path)
+        finally:
+            spark.conf.set(infer, prev)
     except Exception:
         # Only treat a read failure as total data loss when the partition
         # dirs are actually GONE (just _manifest.json left) — that's the

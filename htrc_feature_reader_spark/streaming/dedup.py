@@ -56,3 +56,49 @@ def stream_exact_dedup(
     return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [digest_col]
     )
+
+
+def stream_ingest_against_store(
+    docs: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+    trigger_available_now: bool = False,
+):
+    """Streaming face of the incremental digest store
+    (:mod:`..sources.digest_store`): each micro-batch is one
+    :func:`~..sources.digest_store.ingest_batch` round — dedup the batch
+    within itself AND against every document ever recorded (across
+    restarts, across jobs, across batch/stream boundaries), append the
+    survivors to ``out_path`` and their digests to the store.
+
+    This is the regime ``dropDuplicates`` state can't reach: the "have we
+    EVER seen this" set lives in the store's parquet shards, not in the
+    query's state store — so it survives checkpoint deletion, is shared
+    with batch ingests, and is ~16 bytes/doc instead of full-row state.
+    ``foreachBatch`` is exactly-once-per-epoch on restart only if the
+    batch work is idempotent: here a replayed epoch re-drops already-
+    recorded digests (anti join), so the output gains no duplicates and
+    at worst the store gains redundant shard rows (anti-join-insensitive,
+    reclaimed by ``compact_digest_store``) — convergent, like the batch
+    path's crash story.
+
+    Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
+    """
+    from ..sources.digest_store import ingest_batch
+
+    def each_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        survivors = ingest_batch(
+            batch_df, store_path, text_col, id_col, normalize
+        )
+        survivors.write.mode("append").parquet(out_path)
+
+    writer = docs.writeStream.foreachBatch(each_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

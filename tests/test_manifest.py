@@ -133,3 +133,20 @@ def test_repair_write_heals_total_data_loss(spark, df, tmp_path):
     repair_write(df, path, "bucket", snapshot_id="snap1")
     assert verify_output(spark, path) == []
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_verify_with_type_inferrable_partition_values(spark, tmp_path):
+    """Partition values that LOOK numeric after directory round-trip
+    (zero-padded '002' → inferred int 2) must still verify clean: the
+    manifest keys by the written string, so verify_output reads with
+    partition type inference off. Regression for the shards_job layout
+    (lexicographic bucket names for loader name-order replay)."""
+    path = str(tmp_path / "out")
+    df = spark.range(300).select(
+        F.lpad((F.col("id") % 4).cast("string"), 3, "0").alias("bucket"),
+        F.col("id").alias("v"),
+    )
+    write_partitioned(df, path, "bucket", snapshot_id="snap1")
+    assert sorted(read_manifest(path)["partitions"]) == [
+        "000", "001", "002", "003"]
+    assert verify_output(spark, path) == []

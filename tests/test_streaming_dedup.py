@@ -85,3 +85,56 @@ def test_stream_dedup_watermarked_and_errors(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("select * from dedup_wm").collect()
     assert len(got) == 1  # within-horizon dup suppressed
+
+
+def test_stream_ingest_against_store_cross_restart(spark, tmp_path):
+    """The store-backed streaming ingest dedups across micro-batches AND
+    across query RESTARTS with a fresh checkpoint — state lives in the
+    store's parquet shards, not the state store. Also exercises the
+    batch/stream boundary: a batch ingest_batch round pre-seeds what the
+    stream then respects."""
+    from htrc_feature_reader_spark.sources.digest_store import (
+        ingest_batch, read_digest_store)
+    from htrc_feature_reader_spark.streaming.dedup import (
+        stream_ingest_against_store)
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+
+    # batch pre-seed: doc 0 recorded by a plain (non-streaming) ingest
+    ingest_batch(spark.createDataFrame([(0, "seeded")], schema), store)
+
+    d1 = spark.createDataFrame([(1, "aa"), (2, "aa"), (3, "seeded")], schema)
+    d1.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(d1.schema).parquet(src)
+    q = stream_ingest_against_store(
+        stream, store, out, str(tmp_path / "ck1"))
+    try:
+        q.processAllAvailable()
+        # within-batch dup (2) and batch-seeded dup (3) suppressed
+        assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+        # later micro-batch: dup of earlier stream batch suppressed
+        spark.createDataFrame([(4, "aa"), (5, "bb")], schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 5}
+    finally:
+        q.stop()
+
+    # restart with a FRESH checkpoint and new data: store still remembers
+    spark.createDataFrame([(6, "bb"), (7, "cc")], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_ingest_against_store(
+        spark.readStream.schema(d1.schema).parquet(src),
+        store, out, str(tmp_path / "ck2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # the fresh checkpoint REPLAYS docs 1-5 (new query reads the whole
+    # source) but the store drops every recorded digest: only 7 is new
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 5, 7}
+    st = read_digest_store(spark, store)
+    assert st.select("digest").distinct().count() == 4  # seeded, aa, bb, cc
