@@ -1339,6 +1339,110 @@ def _sample_mixture_sql() -> str:
     """
 
 
+_EPOCH_RATES = {"src1": 2.5, "src2": 1.0, "src3": 0.4}
+_EPOCH_SEED = 13
+
+
+def q_mixture_epochs(spark, sf_dir):
+    """Upsampling mixture (packing.sample_mixture with rates > 1): rare
+    sources get floor(rate) full passes plus a hash-decided fractional
+    pass, each copy tagged with a 0-based epoch. Catalyst plan is one
+    sequence+explode projection over the scan, no shuffle until the
+    verification aggregate. Oracle replays the copy count via
+    mixture_copies_sql + DuckDB's per-row unnest."""
+    from htrc_feature_reader_spark.operators.packing import sample_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_mixture(
+        docs, _EPOCH_RATES, seed=_EPOCH_SEED, epoch_col="epoch"
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.max("epoch").cast("long").alias("max_epoch"),
+        F.sum(F.col("doc_id") * (F.col("epoch") + 1))
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+def _mixture_epochs_sql() -> str:
+    from htrc_feature_reader_spark.operators.packing import mixture_copies_sql
+
+    copies = mixture_copies_sql(_EPOCH_RATES, seed=_EPOCH_SEED)
+    return f"""
+    WITH reps AS (
+      SELECT source, doc_id,
+             unnest(generate_series(0, ({copies}) - 1)) AS epoch
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(max(epoch) AS BIGINT) AS max_epoch,
+           CAST(sum(doc_id * (epoch + 1)) AS BIGINT) AS checksum
+    FROM reps
+    GROUP BY source
+    """
+
+
+_PAD_LEN = 96
+
+
+def q_pack_padded(spark, sf_dir):
+    """Document-boundary packing (packing.pack_documents_padded): each doc
+    chunked to fixed length with zero-padding, no cross-doc token leakage.
+    pad_token=0 so the position-weighted checksum counts real tokens only;
+    the oracle groups the token stream by (doc, ord div L)."""
+    from htrc_feature_reader_spark.operators.packing import (
+        pack_documents_padded,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: (F.ascii(w) * 31 + F.length(w)).cast("int"),
+        ).alias("tokens"),
+    )
+    out = pack_documents_padded(toked, _PAD_LEN, pad_token=0)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_pad").cast("long").alias("n_pad"),
+        F.aggregate(
+            F.zip_with(
+                "tokens",
+                F.sequence(F.lit(1), F.size("tokens")),
+                lambda t, p: t.cast("long") * p.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("checksum"),
+    )
+
+
+def _pack_padded_sql() -> str:
+    L = _PAD_LEN
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, ascii(w) * 31 + length(w) AS tok, ord
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST((ord - 1) // {L} AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST({L} - count(*) AS BIGINT) AS n_pad,
+           CAST(sum(((ord - 1) % {L} + 1) * tok) AS BIGINT) AS checksum
+    FROM toks
+    GROUP BY doc_id, (ord - 1) // {L}
+    """
+
+
 # embedding near-dup LSH parameters — the operator's real operating point
 # (8 tables x 8 sign bits, tau=0.9), shared between the Spark query and
 # the generated DuckDB oracle: the CANDIDATE SET, not just the cosines, is
@@ -1963,6 +2067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "pii": q_pii,
         "corpus_stats": q_corpus_stats,
+        "mixture_epochs": q_mixture_epochs,
+        "pack_padded": q_pack_padded,
         # --- one formal row so far ---
         "chunked_tokenlist": q_chunked_tokenlist,
         "section_group": q_section_group,
@@ -2726,6 +2832,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25": _bm25_sql(),
         "pii": _pii_sql(),
         "corpus_stats": _corpus_stats_sql(),
+        "mixture_epochs": _mixture_epochs_sql(),
+        "pack_padded": _pack_padded_sql(),
         "multimodal_meta": """
           SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents
         """,

@@ -36,6 +36,7 @@ from .vocab import remove_stopwords, restrict_to_vocab  # noqa: F401
 from .embeddings import weighted_embedding_average  # noqa: F401
 from .layout import layout_timeline, write_timeline  # noqa: F401
 from .packing import (  # noqa: F401
+    pack_documents_padded,
     pack_sequences,
     sample_mixture,
     take_per_source,

@@ -302,45 +302,120 @@ def sample_mixture(
     source_col: str = "source",
     seed: int = 7,
     default_rate: float = 0.0,
+    epoch_col: str | None = None,
 ) -> DataFrame:
-    """Deterministic per-source downsampling to a mixture recipe.
+    """Deterministic per-source sampling to a mixture recipe — down- AND
+    up-sampling.
 
-    Keeps a row iff ``u(key) < rates[source]`` where ``u`` is a uniform
-    [0,1) value from pure integer arithmetic (Knuth multiplicative hash
-    mod 2^31-1) over ``key_col`` — no RNG state, identical decisions on
-    any engine that can do 64-bit integer math (the DuckDB oracle replays
-    it verbatim), stable across runs and partitionings. Sources absent
-    from ``rates`` fall back to ``default_rate`` (0 = drop).
+    With all rates in [0, 1] (the default regime): keeps a row iff
+    ``u(key) < rates[source]`` where ``u`` is a uniform [0,1) value from
+    pure integer arithmetic (Knuth multiplicative hash mod 2^31-1) over
+    ``key_col`` — no RNG state, identical decisions on any engine that
+    can do 64-bit integer math (the DuckDB oracle replays it verbatim),
+    stable across runs and partitionings. Sources absent from ``rates``
+    fall back to ``default_rate`` (0 = drop). One narrow filter, fully
+    pushdown-friendly: Catalyst folds the rate lookup into a scan
+    predicate, so at 100 TB the sampled-out rows never leave the file
+    scan stage.
 
-    One narrow filter, fully pushdown-friendly: Catalyst folds the rate
-    lookup into a scan predicate, so at 100 TB the sampled-out rows never
-    leave the file scan stage.
+    Rates ABOVE 1 mean epoch repetition (a temperature recipe routinely
+    asks for 2.7 passes over a rare source): the row is emitted
+    ``floor(rate)`` times plus one more iff ``u(key) < frac(rate)`` —
+    same expected count, same per-key determinism. Repetition changes
+    row multiplicity, so it requires ``epoch_col``: each copy carries
+    its 0-based epoch index (downstream packing keys on
+    ``(key, epoch)``; a bare duplicated key would collapse in any
+    distinct/groupBy). The plan is still one narrow projection — a
+    ``sequence``+``explode`` over a per-row copy count, no shuffle, no
+    Python — and rows with zero copies vanish in the explode (their
+    token payloads still cross the scan, the price of emitting
+    multiplicity; pure filtering workloads should leave ``epoch_col``
+    unset to keep the scan-predicate plan).
+
+    ``epoch_col`` with all-sub-1 rates is allowed (every kept row gets
+    epoch 0), so a recipe can cross the 1.0 boundary without a code-path
+    change. Replay the copy count in SQL via :func:`mixture_copies_sql`;
+    the sub-1 filter via :func:`mixture_sql_predicate`.
 
     ``key_col`` must be integral (byte/short/int/long) or string; any
     other type raises — a silent cast of e.g. a struct or double key to
     NULL would drop every row even at rate 1.0. String keys (native
     htids) are hashed with the module-family polynomial rolling hash,
-    replayed verbatim by :func:`mixture_sql_predicate`
-    (``string_key=True``). NULL keys are deterministically folded to
-    key 0 / ``''`` (both hash to 0) rather than dropped: the decision
-    stays per-key-deterministic and rate 1.0 keeps the whole corpus.
+    replayed verbatim by the SQL helpers (``string_key=True``). NULL
+    keys are deterministically folded to key 0 / ``''`` (both hash to
+    0) rather than dropped: the decision stays per-key-deterministic
+    and rate 1.0 keeps the whole corpus.
     """
-    from pyspark.sql.types import (
-        ByteType,
-        IntegerType,
-        LongType,
-        ShortType,
-        StringType,
-    )
-
     for s, r in rates.items():
-        if not (0.0 <= r <= 1.0):
-            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+        if r < 0.0 or (r > 1.0 and epoch_col is None):
+            raise ValueError(
+                f"rate for {s!r} must be in [0, 1] (got {r}); rates > 1 "
+                "(epoch repetition) require epoch_col"
+            )
+    if default_rate < 0.0 or (default_rate > 1.0 and epoch_col is None):
+        raise ValueError(
+            f"default_rate must be in [0, 1] (got {default_rate}); "
+            "rates > 1 require epoch_col"
+        )
     u = _key_hash(df, key_col, seed).cast("double") / F.lit(float(_MERSENNE))
-    rate = F.lit(float(default_rate))
+    if epoch_col is None:
+        rate = F.lit(float(default_rate))
+        for s, r in sorted(rates.items()):
+            rate = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(rate)
+        return df.filter(u < rate)
+
+    # repetition path: per-source (floor, frac) split driver-side so the
+    # fractional-copy decision reuses the same u as plain sampling — a
+    # recipe moving a source from 0.9 to 1.9 keeps the SAME keys for its
+    # fractional copy, only adding a full pass
+    import math
+
+    whole = F.lit(int(math.floor(float(default_rate))))
+    frac = F.lit(float(default_rate) - math.floor(float(default_rate)))
     for s, r in sorted(rates.items()):
-        rate = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(rate)
-    return df.filter(u < rate)
+        q, fr = int(math.floor(float(r))), float(r) - math.floor(float(r))
+        cond = F.col(source_col) == s
+        whole = F.when(cond, F.lit(q)).otherwise(whole)
+        frac = F.when(cond, F.lit(fr)).otherwise(frac)
+    n_copies = (whole + F.when(u < frac, F.lit(1)).otherwise(F.lit(0))).cast(
+        "int"
+    )
+    # sequence(0, -1) would DESCEND in Spark ([0, -1]); guard zero-copy
+    # rows to an empty array, which the explode then drops entirely
+    eps = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select("*", F.explode(eps).alias(epoch_col))
+
+
+def mixture_copies_sql(
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 7,
+    default_rate: float = 0.0,
+    string_key: bool = False,
+) -> str:
+    """The :func:`sample_mixture` (repetition path) per-row COPY COUNT as
+    ANSI SQL — same integer hash, same floor/frac split, same branch
+    order. Replay the row multiplication with DuckDB's per-row unnest::
+
+        SELECT ..., unnest(generate_series(0, ({copies}) - 1)) AS epoch
+        FROM ...
+
+    (``generate_series(0, -1)`` is empty in DuckDB, so zero-copy rows
+    vanish exactly like the Spark explode.)"""
+    import math
+
+    u = f"({key_hash_sql(key_col, seed, string_key)}) / CAST({_MERSENNE} AS DOUBLE)"
+    whole = str(int(math.floor(float(default_rate))))
+    frac = str(float(default_rate) - math.floor(float(default_rate)))
+    for s, r in sorted(rates.items()):
+        lit = s.replace("'", "''")
+        q, fr = int(math.floor(float(r))), float(r) - math.floor(float(r))
+        whole = f"CASE WHEN {source_col} = '{lit}' THEN {q} ELSE {whole} END"
+        frac = f"CASE WHEN {source_col} = '{lit}' THEN {fr} ELSE {frac} END"
+    return f"(({whole}) + (CASE WHEN ({u}) < ({frac}) THEN 1 ELSE 0 END))"
 
 
 ROLLING_HASH_SQL = (
@@ -370,6 +445,86 @@ def mixture_sql_predicate(
         lit = s.replace("'", "''")  # a source name with an apostrophe must
         rate = f"CASE WHEN {source_col} = '{lit}' THEN {float(r)} ELSE {rate} END"
     return f"({u}) < ({rate})"
+
+
+def pack_documents_padded(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "tokens",
+    doc_col: str = "doc_id",
+    pad_token: int | None = 0,
+    eos_token: int | None = None,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Document-boundary-respecting packing: split each document's token
+    array into ``ceil(n / seq_len)`` fixed-length chunks and pad the last
+    one — no cross-document concatenation, so no attention contamination
+    between unrelated documents and no block-diagonal mask bookkeeping.
+    The trade against :func:`pack_sequences` is pad waste (bounded by
+    ``seq_len - 1`` tokens per document), which is why both exist: concat
+    packing for pretraining throughput, padded packing for fine-tuning /
+    eval where cross-doc leakage is unacceptable.
+
+    Pure Catalyst, zero shuffle: one ``transform(sequence)`` builds the
+    per-document chunk list (JVM-side array slicing — payloads are
+    sliced, never re-encoded), one explode emits chunk rows. At 100 TB
+    this is a narrow map over the corpus scan; parallelism is the scan's.
+
+    ``eos_token`` is appended to the document before chunking when set.
+    ``pad_token=None`` leaves the final chunk ragged (for loaders that
+    pad on collate). Chunks with fewer than ``min_tokens`` REAL tokens
+    are dropped (default 1 — i.e. only empty/NULL docs vanish; raise it
+    to discard uninformative tails).
+
+    Returns ``(doc_col, chunk_id, tokens, n_tok, n_pad)``: ``chunk_id``
+    is the 0-based within-document index, ``n_tok`` the real-token count,
+    ``n_pad`` the padding added (0 when ragged or exact).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    elem_t = df.schema[tokens_col].dataType.elementType.simpleString()
+    toks = F.coalesce(F.col(tokens_col), F.array().cast(f"array<{elem_t}>"))
+    if eos_token is not None:
+        toks = F.concat(toks, F.array(F.lit(eos_token).cast(elem_t)))
+    L = int(seq_len)
+    n = F.size(toks)
+    # chunk i covers [iL, min((i+1)L, n)) — slice is 1-based
+    # floor(double) is exact here: n is a per-document token count
+    # (int-sized, far under 2^53 where double division starts misrounding)
+    chunks = F.when(n > 0, F.transform(
+        F.sequence(F.lit(0), F.floor((n - 1) / F.lit(L)).cast("int")),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.slice(toks, i * L + 1, F.lit(L)).alias("frag"),
+        ),
+    )).otherwise(F.array().cast(
+        f"array<struct<chunk_id:int,frag:array<{elem_t}>>>"
+    ))
+    out = (
+        df.select(F.col(doc_col), F.explode(chunks).alias("c"))
+        .select(
+            doc_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.frag").alias("__frag"),
+        )
+        .withColumn("n_tok", F.size("__frag"))
+        .filter(F.col("n_tok") >= int(min_tokens))
+    )
+    if pad_token is None:
+        return out.select(
+            doc_col, "chunk_id", F.col("__frag").alias("tokens"), "n_tok",
+            F.lit(0).alias("n_pad"),
+        )
+    pad = F.array_repeat(F.lit(pad_token).cast(elem_t), F.lit(L) - F.col("n_tok"))
+    return out.select(
+        doc_col,
+        "chunk_id",
+        F.concat("__frag", pad).alias("tokens"),
+        "n_tok",
+        (F.lit(L) - F.col("n_tok")).alias("n_pad"),
+    )
 
 
 def unpack_sequences(

@@ -366,3 +366,116 @@ def test_mixture_rates_from_counts_temperature():
     assert mixture_rates_from_counts({"a": 0}) == {"a": 0.0}
     with pytest.raises(ValueError):
         mixture_rates_from_counts(counts, alpha=-1)
+
+
+def test_sample_mixture_epochs_upsampling(spark):
+    """Rates > 1 repeat rows deterministically: floor(rate) full passes
+    plus a hash-decided fractional pass, each copy labeled by epoch."""
+    from htrc_feature_reader_spark.operators.packing import mixture_copies_sql
+
+    df = spark.range(9000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "rare").otherwise("web").alias("source"),
+    )
+    rates = {"rare": 2.5, "web": 0.5}
+    out = sample_mixture(df, rates, seed=11, epoch_col="epoch")
+    n_rare_src = 4500
+    rare = out.filter(F.col("source") == "rare")
+    n_rare = rare.count()
+    # every rare doc twice, ~half three times
+    assert abs(n_rare / n_rare_src - 2.5) < 0.05
+    per = rare.groupBy("doc_id").count().groupBy("count").count().collect()
+    mult = {r["count(1)"] if "count(1)" in r else r[0]: r[1] for r in per}
+    assert set(mult) == {2, 3}
+    # epochs are 0..n-1 per doc
+    eps = rare.filter(F.col("doc_id") == rare.first()["doc_id"]) \
+        .select("epoch").collect()
+    assert sorted(e["epoch"] for e in eps) == list(range(len(eps)))
+    # web at 0.5 behaves like plain sampling, epoch always 0
+    web = out.filter(F.col("source") == "web")
+    assert web.filter(F.col("epoch") != 0).count() == 0
+    plain = sample_mixture(df, {"web": 0.5}, seed=11)
+    assert sorted(r["doc_id"] for r in web.collect()) == sorted(
+        r["doc_id"] for r in plain.collect())
+
+    # DuckDB replay: identical (doc_id, epoch) multiset
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("mixdocs", df.toPandas())
+    copies = mixture_copies_sql(rates, seed=11)
+    got = con.execute(
+        f"SELECT doc_id, unnest(generate_series(0, ({copies}) - 1)) AS epoch"
+        " FROM mixdocs"
+    ).fetchall()
+    assert sorted(got) == sorted(
+        (r["doc_id"], r["epoch"]) for r in out.collect())
+
+
+def test_sample_mixture_epoch_requires_flag(spark):
+    df = spark.createDataFrame([(1, "web")], "doc_id long, source string")
+    with pytest.raises(ValueError, match="epoch_col"):
+        sample_mixture(df, {"web": 1.5})
+    with pytest.raises(ValueError, match="epoch_col"):
+        sample_mixture(df, {"web": 0.5}, default_rate=2.0)
+    # negative still rejected on both paths
+    with pytest.raises(ValueError):
+        sample_mixture(df, {"web": -0.1}, epoch_col="epoch")
+
+
+def test_pack_documents_padded_shapes_and_parity(spark):
+    from htrc_feature_reader_spark.operators.packing import pack_documents_padded
+
+    df = spark.createDataFrame(
+        [
+            (1, list(range(10))),   # 2 chunks of 4 + tail 2
+            (2, list(range(4))),    # exactly one chunk
+            (3, [7]),               # one padded chunk
+            (4, []),                # vanishes
+            (5, None),              # vanishes
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    out = pack_documents_padded(df, 4, pad_token=-1).collect()
+    got = {(r["doc_id"], r["chunk_id"]): r for r in out}
+    assert set(got) == {(1, 0), (1, 1), (1, 2), (2, 0), (3, 0)}
+    assert got[(1, 0)]["tokens"] == [0, 1, 2, 3]
+    assert got[(1, 2)]["tokens"] == [8, 9, -1, -1]
+    assert (got[(1, 2)]["n_tok"], got[(1, 2)]["n_pad"]) == (2, 2)
+    assert got[(3, 0)]["tokens"] == [7, -1, -1, -1]
+    assert all(len(r["tokens"]) == 4 for r in out)
+    # every real token survives in order: unpad and re-concatenate
+    for d, n in [(1, 10), (2, 4), (3, 1)]:
+        toks = []
+        for c in sorted(k[1] for k in got if k[0] == d):
+            r = got[(d, c)]
+            toks += r["tokens"][: r["n_tok"]]
+        assert toks == [t for t in
+                        ([*range(10)] if d == 1 else [*range(4)] if d == 2 else [7])][:n]
+
+    # ragged mode leaves the tail short; min_tokens drops it
+    ragged = pack_documents_padded(df, 4, pad_token=None).collect()
+    tail = [r for r in ragged if r["doc_id"] == 1 and r["chunk_id"] == 2][0]
+    assert tail["tokens"] == [8, 9] and tail["n_pad"] == 0
+    kept = pack_documents_padded(df, 4, pad_token=None, min_tokens=3).collect()
+    assert (1, 2) not in {(r["doc_id"], r["chunk_id"]) for r in kept}
+
+    # eos appended before chunking
+    eos = pack_documents_padded(df.filter("doc_id = 2"), 4, pad_token=-1,
+                                eos_token=99).collect()
+    assert {r["chunk_id"]: r["tokens"] for r in eos} == {
+        0: [0, 1, 2, 3], 1: [99, -1, -1, -1]}
+
+
+def test_pack_documents_padded_no_shuffle_plan(spark):
+    from htrc_feature_reader_spark.operators.packing import pack_documents_padded
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.sequence(F.lit(0), (F.pmod(F.col("id"), F.lit(9))).cast("int"))
+        .alias("tokens"),
+    )
+    plan = pack_documents_padded(df, 4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
