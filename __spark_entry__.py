@@ -1343,6 +1343,115 @@ _EPOCH_RATES = {"src1": 2.5, "src2": 1.0, "src3": 0.4}
 _EPOCH_SEED = 13
 
 
+def q_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate signal (operators/dedup.py:
+    boilerplate_fraction): fraction of each doc's distinct word 3-grams
+    appearing in >= 4 docs corpus-wide. One distinct over hashed
+    (doc, shingle) pairs, one map-side-combined df count, one semi-join
+    back (heavy set bounded by total_pairs/min_df — AQE broadcasts it),
+    one per-doc count. The oracle replays the identical rolling-hash ids
+    so a hash collision changes both engines the same way."""
+    from htrc_feature_reader_spark.operators.dedup import boilerplate_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_fraction(docs, min_df=4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        F.round("boilerplate_frac", 9).alias("boiler_frac9"),
+    )
+
+
+def _boilerplate_sql() -> str:
+    sid = _SQL_ROLLHASH.format(col="shingle")
+    return f"""
+      WITH sh AS ({_SQL_SHINGLES}),
+      ds AS (SELECT DISTINCT doc_id, {sid} AS sid FROM sh),
+      heavy AS (
+        SELECT sid FROM ds GROUP BY sid HAVING count(*) >= 4),
+      tot AS (SELECT doc_id, count(*) AS n_shingles FROM ds GROUP BY 1),
+      flg AS (
+        SELECT ds.doc_id, count(*) AS n_boiler FROM ds
+        SEMI JOIN heavy USING (sid) GROUP BY 1)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(COALESCE(tot.n_shingles, 0) AS BIGINT) AS n_shingles,
+             CAST(COALESCE(flg.n_boiler, 0) AS BIGINT) AS n_boiler,
+             round(CAST(COALESCE(flg.n_boiler, 0) AS DOUBLE) /
+                   greatest(COALESCE(tot.n_shingles, 0), 1), 9) AS boiler_frac9
+      FROM documents d
+      LEFT JOIN tot ON d.doc_id = tot.doc_id
+      LEFT JOIN flg ON d.doc_id = flg.doc_id
+    """
+
+
+def q_top_terms(spark, sf_dir):
+    """Heavy-hitter vocabulary (operators/stats.py: top_terms): exact
+    per-source top-5 terms; the explode dies at the first partial
+    aggregate, the shuffle carries only distinct (source, term) rows,
+    and Spark's WindowGroupLimit turns the rank filter into a partial
+    per-partition top-k before the window shuffle."""
+    from htrc_feature_reader_spark.operators.stats import top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_terms(docs, k=5).select(
+        "source", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _top_terms_sql() -> str:
+    return r"""
+      SELECT source, term, tf, df, rank FROM (
+        SELECT source, term,
+               CAST(count(*) AS BIGINT) AS tf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, term ASC) AS rank
+        FROM (
+          SELECT doc_id, source,
+                 unnest(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents)
+        GROUP BY source, term)
+      WHERE rank <= 5
+    """
+
+
+def q_jsonl_quarantine(spark, sf_dir):
+    """Raw JSONL ingest with corrupt-record quarantine (sources/
+    jsonl_raw.py): documents written as JSONL shards, two poison lines
+    (unparseable + null-required) injected, read back under the explicit
+    contract. The returned frame is the GOOD side — hash-equality with
+    the source table proves the poison lines were quarantined, not
+    leaked through as null rows, and the sink->scan path is lossless."""
+    import os
+
+    from htrc_feature_reader_spark.sources.jsonl_raw import (
+        DOCUMENTS_JSONL_SCHEMA,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    dest = "/tmp/htrc_spark_sinks/jsonl_quarantine"
+    write_jsonl(docs, dest, mode="overwrite", partitions=4)
+    with open(os.path.join(dest, "poison.json"), "w") as f:
+        f.write("this line is not json\n")
+        f.write('{"doc_id": null, "text": "no id", "lang": "en", '
+                '"source": "srcX", "n_chars": 5}\n')
+    good, quarantine = read_jsonl(
+        spark, dest, schema=DOCUMENTS_JSONL_SCHEMA, required=("doc_id",)
+    )
+    # touch the quarantine side so the run asserts both halves: exactly
+    # the 2 poison lines, no more (a leak on the good side would also
+    # break the hash; a third quarantined row means the sink corrupted a
+    # real document)
+    assert quarantine.count() == 2
+    return good
+
+
 def q_mixture_epochs(spark, sf_dir):
     """Upsampling mixture (packing.sample_mixture with rates > 1): rare
     sources get floor(rate) full passes plus a hash-decided fractional
@@ -2069,6 +2178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "mixture_epochs": q_mixture_epochs,
         "pack_padded": q_pack_padded,
+        "boilerplate": q_boilerplate,
+        "top_terms": q_top_terms,
+        "jsonl_quarantine": q_jsonl_quarantine,
         # --- one formal row so far ---
         "chunked_tokenlist": q_chunked_tokenlist,
         "section_group": q_section_group,
@@ -2832,6 +2944,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25": _bm25_sql(),
         "pii": _pii_sql(),
         "corpus_stats": _corpus_stats_sql(),
+        "boilerplate": _boilerplate_sql(),
+        "top_terms": _top_terms_sql(),
+        "jsonl_quarantine": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "mixture_epochs": _mixture_epochs_sql(),
         "pack_padded": _pack_padded_sql(),
         "multimodal_meta": """

@@ -12,6 +12,7 @@ from .asof import asof_join  # noqa: F401
 from .windows import with_lag_lead, forward_fill, backward_fill, sessionize  # noqa: F401
 from .features import build_pit_features  # noqa: F401
 from .dedup import (  # noqa: F401
+    boilerplate_fraction,
     decontaminate,
     exact_duplicates,
     jaccard_pairs,
@@ -25,6 +26,7 @@ from .dedup import (  # noqa: F401
     word_shingles,
 )
 from .components import connected_components  # noqa: F401
+from .stats import corpus_stats, top_terms  # noqa: F401
 from .similarity import cosine_topk, lsh_cosine_topk, near_dup_pairs  # noqa: F401
 from .pipeline import (  # noqa: F401
     CleanConfig,

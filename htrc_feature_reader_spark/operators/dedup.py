@@ -576,3 +576,66 @@ def decontaminate(
             flag_col, F.coalesce(F.col(flag_col), F.lit(False))
         )
     return docs.join(contaminated, on=id_col, how="left_anti")
+
+
+def boilerplate_fraction(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 5,
+) -> DataFrame:
+    """Cross-document boilerplate signal: for each doc, the fraction of
+    its distinct word ``n``-grams that appear in at least ``min_df``
+    documents corpus-wide (headers, footers, license blurbs, navigation
+    chrome — the template text that within-doc repetition signals
+    (:func:`~.text.repetition_features`) cannot see because it repeats
+    *across* documents, not inside one).
+
+    Appends three columns: ``n_shingles`` (distinct n-grams in the doc),
+    ``n_boiler`` (of those, how many are corpus-boilerplate), and
+    ``boilerplate_frac`` (their ratio; 0.0 for docs shorter than ``n``
+    words). Filter on ``boilerplate_frac`` to drop template-dominated
+    docs, the usual cleaning rule.
+
+    Scale: one distinct over (doc, shingle-hash) pairs (the same
+    single-char-pass hashing as :func:`word_shingle_ids` — no shingle
+    strings materialized), one map-side-combined count by shingle to find
+    the heavy set, one semi-join back, one count by doc. The heavy set is
+    bounded by construction (#heavy <= total_pairs / min_df), so at
+    corpus scale AQE typically broadcasts it; nothing here is forced.
+    Counting distinct n-grams (sets, not multisets) keeps every
+    aggregation a plain count and makes the signal insensitive to
+    within-doc repetition, which is measured separately.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2 (1 flags everything), got {min_df}")
+    pairs = word_shingle_ids(docs, text_col, id_col, n=n)
+    heavy = (
+        pairs.groupBy("shingle_id")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("shingle_id")
+    )
+    totals = pairs.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    flagged = (
+        pairs.join(heavy, on="shingle_id", how="left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    per_doc = totals.join(flagged, on="id", how="left").select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+    )
+    return docs.join(per_doc, on=id_col, how="left").select(
+        "*",
+        (
+            F.coalesce(F.col("n_boiler"), F.lit(0))
+            / F.greatest(F.coalesce(F.col("n_shingles"), F.lit(0)), F.lit(1))
+        ).alias("boilerplate_frac"),
+    ).withColumn("n_shingles", F.coalesce(F.col("n_shingles"), F.lit(0))).withColumn(
+        "n_boiler", F.coalesce(F.col("n_boiler"), F.lit(0))
+    )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def corpus_stats(
@@ -75,3 +76,58 @@ def corpus_stats_sql(
              count(*) / CAST(sum(count(*)) OVER () AS DOUBLE) AS doc_share
       FROM {table} GROUP BY {source_col}
     """
+
+
+def top_terms(
+    docs: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = "source",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Exact heavy-hitter vocabulary: the ``k`` most frequent whitespace
+    terms per ``group_col`` (or corpus-wide when ``group_col=None``),
+    with term frequency ``tf``, document frequency ``df``, and a
+    tie-stable ``rank`` (tf desc, term asc — deterministic across runs
+    and engines).
+
+    Scale: the exploded word stream never survives past the first
+    aggregation — ``groupBy(group, term)`` partial-aggregates map-side,
+    so the only shuffle carries #distinct(group, term) rows, and the
+    top-k window then runs over that (already small) relation. ``df``
+    uses count(DISTINCT id) inside the same aggregate (one Expand of the
+    distinct column, no extra scan). Exact by design: a count-min sketch
+    saves nothing here because the distinct-term relation is already the
+    shuffle payload, and exactness keeps the result oracle-checkable.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    word = F.explode(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    ).alias("term")
+    term = F.lower(F.col("term")) if lowercase else F.col("term")
+    keys = [group_col] if group_col else []
+    exploded = docs.select(*keys, F.col(id_col).alias("__id"), word).select(
+        *keys, "__id", term.alias("term")
+    )
+    counts = exploded.groupBy(*keys, "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("__id").alias("df"),
+    )
+    order = [F.col("tf").desc(), F.col("term").asc()]
+    if keys:
+        # rank-filter form: Spark's WindowGroupLimit rewrites this into a
+        # partial per-partition group limit BEFORE the shuffle, so only
+        # ~k rows per group per mapper move — a distributed top-k, not a
+        # full per-group sort
+        ranked = counts.withColumn(
+            "rank", F.row_number().over(Window.partitionBy(*keys).orderBy(*order))
+        )
+        return ranked.filter(F.col("rank") <= k)
+    # corpus-wide: orderBy+limit is a TakeOrdered (per-partition heaps +
+    # driver merge of k rows), never a single-partition window
+    topk = counts.orderBy(*order).limit(k)
+    return topk.withColumn(
+        "rank", F.row_number().over(Window.partitionBy().orderBy(*order))
+    )
