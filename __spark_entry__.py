@@ -1452,6 +1452,66 @@ def q_jsonl_quarantine(spark, sf_dir):
     return good
 
 
+def q_seq_minhash(spark, sf_dir):
+    """Near-dup mining over PRE-TOKENIZED sequences (dedup.py:
+    token_shingle_ids -> the unchanged minhash/LSH stack): token arrays
+    derived from events share per-template prefixes (group = event_id %
+    25, lengths 40..47), so same-group docs are true near-dups. The
+    token-5-gram rolling hash, MinHash family, and banding are replayed
+    integer-exactly in the oracle."""
+    from htrc_feature_reader_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        token_shingle_ids,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 400)
+    g = F.pmod(F.col("event_id"), F.lit(25))
+    length = F.lit(40) + F.pmod(F.col("event_id"), F.lit(8))
+    tokens = F.transform(
+        F.sequence(F.lit(0), length - 1),
+        lambda i: F.pmod(
+            g * F.lit(_SEQ_MULT) + i * F.lit(_SEQ_STEP), F.lit(_SEQ_VOCAB)
+        ).cast("int"),
+    )
+    docs = ev.select(F.col("event_id").alias("doc_id"), tokens.alias("tokens"))
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(token_shingle_ids(docs, n=5))
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("doc_a"),
+        F.col("id_b").cast("long").alias("doc_b"),
+    )
+
+
+def _seq_minhash_sql() -> str:
+    hash_exprs = ", ".join(
+        f"min(({a} * (((sid + 1) * 2654435761) % {_MH_P}) + {b}) % {_MH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MH_COEF)
+    )
+    band_conds = " OR ".join(
+        f"(a.h{2*b} = b.h{2*b} AND a.h{2*b+1} = b.h{2*b+1})" for b in range(4)
+    )
+    return f"""
+      WITH seqdocs AS (
+        SELECT event_id AS doc_id,
+               list_transform(range(0, CAST(40 + event_id % 8 AS INT)),
+                 i -> ((event_id % 25) * {_SEQ_MULT} + i * {_SEQ_STEP})
+                      % {_SEQ_VOCAB}) AS tokens
+        FROM events WHERE event_id < 400),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(0, greatest(len(tokens) - 4, 0)),
+                 i -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT), tokens[i+1:i+5]),
+                        (a, b) -> (a * 257 + b) % {_MH_P}))) AS sid
+        FROM seqdocs),
+      mh AS (SELECT doc_id, {hash_exprs} FROM sh GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_conds})
+    """
+
+
 def q_mixture_epochs(spark, sf_dir):
     """Upsampling mixture (packing.sample_mixture with rates > 1): rare
     sources get floor(rate) full passes plus a hash-decided fractional
@@ -2181,6 +2241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "top_terms": q_top_terms,
         "jsonl_quarantine": q_jsonl_quarantine,
+        "seq_minhash": q_seq_minhash,
         # --- one formal row so far ---
         "chunked_tokenlist": q_chunked_tokenlist,
         "section_group": q_section_group,
@@ -2947,6 +3008,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate": _boilerplate_sql(),
         "top_terms": _top_terms_sql(),
         "jsonl_quarantine": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "seq_minhash": _seq_minhash_sql(),
         "mixture_epochs": _mixture_epochs_sql(),
         "pack_padded": _pack_padded_sql(),
         "multimodal_meta": """

@@ -639,3 +639,50 @@ def boilerplate_fraction(
     ).withColumn("n_shingles", F.coalesce(F.col("n_shingles"), F.lit(0))).withColumn(
         "n_boiler", F.coalesce(F.col("n_boiler"), F.lit(0))
     )
+
+
+def token_shingle_ids(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    n: int = 5,
+    base: int = 257,
+    mod: int = (1 << 31) - 1,
+) -> DataFrame:
+    """Distinct (id, shingle_id) pairs over INT TOKEN ARRAYS — the
+    pre-tokenized-sequence analog of :func:`word_shingle_ids` (the
+    north-rule input ships ``tokens array<int>``, no text to re-split).
+    shingle_id is the polynomial rolling hash of the n consecutive token
+    values, ``fold (h*base + pmod(tok, mod)) % mod`` — the same hash
+    family as the word path, so every downstream consumer
+    (:func:`minhash_signatures`, :func:`lsh_candidate_pairs`,
+    :func:`shingle_ids` caps, :func:`boilerplate_fraction`-style counts)
+    composes unchanged.
+
+    Unlike the word path there is no per-word inner hash to amortize, so
+    the direct per-index fold is O(n) per shingle (O(len * n) per doc,
+    n is single digits) with no multi-reference alias to stage — the
+    tokens column is a cheap input reference that Catalyst may inline
+    freely. pmod keeps negative token ids (some vocabularies use them as
+    sentinels) on the positive ring, matching SQL ``%`` replays via
+    pmod there too. Docs shorter than n yield no rows (consistent with
+    word_shingle_ids and the sub-n decontaminate contract).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.col(tokens_col)
+
+    def shingle_hash(i):
+        h = F.lit(0).cast("long")
+        for j in range(n):
+            t = F.pmod(F.element_at(toks, i + 1 + j).cast("long"), F.lit(mod))
+            h = (h * base + t) % mod
+        return h
+
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.transform(idx, shingle_hash)).alias("shingle_id"))
+        .distinct()
+    )

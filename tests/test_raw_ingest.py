@@ -175,3 +175,73 @@ def test_top_terms_validates(spark):
     docs = spark.createDataFrame([Row(doc_id=1, source="a", text="x")])
     with pytest.raises(ValueError, match="k must"):
         top_terms(docs, k=0)
+
+
+# ----------------------------------------------------- token shingles
+
+
+def test_token_shingle_ids_values_and_short_docs(spark):
+    from htrc_feature_reader_spark.operators.dedup import token_shingle_ids
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, tokens=[10, 20, 30, 40]),
+            Row(doc_id=2, tokens=[10, 20]),  # shorter than n -> no rows
+            Row(doc_id=3, tokens=[10, 20, 30, 40]),  # same as doc 1
+        ]
+    )
+    out = token_shingle_ids(docs, n=3).collect()
+    mod = (1 << 31) - 1
+    expect = {
+        ((10 * 257 + 20) * 257 + 30) % mod,
+        ((20 * 257 + 30) * 257 + 40) % mod,
+    }
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, set()).add(r.shingle_id)
+    assert by_id[1] == expect and by_id[3] == expect
+    assert 2 not in by_id
+
+
+def test_token_shingle_ids_negative_tokens_pmod(spark):
+    from htrc_feature_reader_spark.operators.dedup import token_shingle_ids
+
+    mod = (1 << 31) - 1
+    docs = spark.createDataFrame([Row(doc_id=1, tokens=[-1, 5, 7])])
+    out = token_shingle_ids(docs, n=3).collect()
+    t0 = (-1) % mod  # pmod: mod - 1
+    assert out[0].shingle_id == ((t0 * 257 + 5) * 257 + 7) % mod
+
+
+def test_token_shingles_feed_minhash_lsh(spark):
+    from htrc_feature_reader_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        token_shingle_ids,
+    )
+
+    # two docs sharing a long prefix (near-dups) + one disjoint doc
+    base = list(range(100, 160))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, tokens=base),
+            Row(doc_id=2, tokens=base + [7, 8]),
+            Row(doc_id=3, tokens=list(range(5000, 5060))),
+        ]
+    )
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(token_shingle_ids(docs, n=5))
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_token_shingle_ids_validates(spark):
+    from htrc_feature_reader_spark.operators.dedup import token_shingle_ids
+
+    docs = spark.createDataFrame([Row(doc_id=1, tokens=[1, 2, 3])])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n must"):
+        token_shingle_ids(docs, n=0)
