@@ -60,6 +60,9 @@ def word_shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc: (id, shingle). Pure Catalyst:
     split + transform over index sequence + explode + distinct."""
+    from ..functions import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # CPU-bound explode: spread tiny inputs
     arr = F.split(F.col(text_col), " ")
     # guard the short-doc case: sequence(0, -1) is DESCENDING ([0, -1]),
     # not empty, and would index past the end under ANSI mode
@@ -97,6 +100,9 @@ def word_shingle_ids(
     the identity (h=0, pow=1), exactly as the character-level hash of the
     concatenated string sees only the two spaces.
     """
+    from ..functions import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # CPU-bound folds: spread tiny inputs
     words = F.split(F.col(text_col), " ")
     # one char pass per word: (h, p) = (polynomial hash, base^len % mod)
     wh = F.transform(
@@ -670,6 +676,9 @@ def token_shingle_ids(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    from ..functions import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # CPU-bound folds: spread tiny inputs
     toks = F.col(tokens_col)
 
     def shingle_hash(i):

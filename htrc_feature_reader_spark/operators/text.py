@@ -249,6 +249,9 @@ def repetition_features(
     """
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1, got {ngram}")
+    from ..functions import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # ~ms/doc folds: spread tiny inputs
     c = F.col(text_col)
     nonempty = lambda arr: F.filter(arr, lambda x: x != "")  # noqa: E731
     lines = nonempty(F.split(c, "\n"))

@@ -245,3 +245,26 @@ def test_token_shingle_ids_validates(spark):
 
     with _pytest.raises(ValueError, match="n must"):
         token_shingle_ids(docs, n=0)
+
+
+# ------------------------------------------- small-input parallelism
+
+
+def test_ensure_min_parallelism_spreads_small_and_is_lazy(spark):
+    from htrc_feature_reader_spark.functions import ensure_min_parallelism
+
+    df = spark.range(100).coalesce(1)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = ensure_min_parallelism(df)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after  # decision from plan stats, no job
+    assert "RoundRobinPartitioning" in out._jdf.queryExecution().toString()
+
+
+def test_ensure_min_parallelism_noop_above_threshold(spark):
+    from htrc_feature_reader_spark.functions import ensure_min_parallelism
+
+    df = spark.range(100)
+    out = ensure_min_parallelism(df, size_threshold=1)  # estimate >= 1 byte
+    assert "RoundRobinPartitioning" not in out._jdf.queryExecution().toString()
