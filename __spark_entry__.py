@@ -2306,12 +2306,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # polynomial rolling hash of a string, seeded 0: fold (h*257 + code) % 2^31-1
-# — identical on both engines (Spark F.aggregate / DuckDB list_reduce)
-_SQL_ROLLHASH = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
-    "(a, b) -> (a * 257 + b) % 2147483647)"
+# — identical on both engines (Spark F.aggregate / DuckDB list_reduce);
+# the single definition lives next to text.rolling_hash so the two
+# engines' copies cannot drift (review finding: three copies existed)
+from htrc_feature_reader_spark.operators.text import (  # noqa: E402
+    ROLLING_HASH_SQL as _ROLLHASH_TMPL,
 )
+
+_SQL_ROLLHASH = _ROLLHASH_TMPL.replace("{mod}", "2147483647")
 
 
 def _minhash_sql() -> str:

@@ -284,7 +284,7 @@ def key_hash_sql(key_col: str, seed: int, string_key: bool = False) -> str:
     identical NULL fold, for oracles and cross-engine sampling replays."""
     m = _MERSENNE
     if string_key:
-        key = ROLLING_HASH_SQL.format(col=f"COALESCE({key_col}, '')")
+        key = rolling_hash_sql(f"COALESCE({key_col}, '')")
     else:
         key = f"COALESCE({key_col}, 0)"
     # (key % m + m) % m: plain SQL `%` keeps the dividend's sign, so this
@@ -357,6 +357,13 @@ def sample_mixture(
             f"default_rate must be in [0, 1] (got {default_rate}); "
             "rates > 1 require epoch_col"
         )
+    if epoch_col is not None and epoch_col in df.columns:
+        # same contract as detect_language/tokenize: never silently
+        # shadow or ambiguate an existing column (e.g. re-running the
+        # mixture on its own epoch-carrying output)
+        raise ValueError(
+            f"output column {epoch_col!r} already exists; pass epoch_col="
+        )
     u = _key_hash(df, key_col, seed).cast("double") / F.lit(float(_MERSENNE))
     if epoch_col is None:
         rate = F.lit(float(default_rate))
@@ -418,13 +425,9 @@ def mixture_copies_sql(
     return f"(({whole}) + (CASE WHEN ({u}) < ({frac}) THEN 1 ELSE 0 END))"
 
 
-ROLLING_HASH_SQL = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
-    "(a, b) -> (a * 257 + b) % 2147483647)"
-)
-"""DuckDB replay of :func:`..text.rolling_hash` (base 257, mod 2^31-1) —
-the shared cross-engine string-hash family used by the oracles."""
+# single-source cross-engine hash replay: defined next to rolling_hash
+from .text import rolling_hash_sql  # noqa: E402
+
 
 
 def mixture_sql_predicate(
@@ -488,8 +491,16 @@ def pack_documents_padded(
     toks = F.coalesce(F.col(tokens_col), F.array().cast(f"array<{elem_t}>"))
     if eos_token is not None:
         toks = F.concat(toks, F.array(F.lit(eos_token).cast(elem_t)))
+    # Stage the (coalesce+concat) array as its OWN projection before the
+    # chunk transform: referenced bare inside the lambda, Catalyst would
+    # inline the concat into every per-chunk slice — rebuilding the full
+    # array once per chunk, O(len * n_chunks) per document (the same
+    # CollapseProject pitfall documented in word_shingle_ids/chunking;
+    # staged + referenced >1 time, the alias computes once per row).
+    staged = df.select(F.col(doc_col), toks.alias("__t"))
+    ref = F.col("__t")
     L = int(seq_len)
-    n = F.size(toks)
+    n = F.size(ref)
     # chunk i covers [iL, min((i+1)L, n)) — slice is 1-based
     # floor(double) is exact here: n is a per-document token count
     # (int-sized, far under 2^53 where double division starts misrounding)
@@ -497,13 +508,13 @@ def pack_documents_padded(
         F.sequence(F.lit(0), F.floor((n - 1) / F.lit(L)).cast("int")),
         lambda i: F.struct(
             i.cast("int").alias("chunk_id"),
-            F.slice(toks, i * L + 1, F.lit(L)).alias("frag"),
+            F.slice(ref, i * L + 1, F.lit(L)).alias("frag"),
         ),
     )).otherwise(F.array().cast(
         f"array<struct<chunk_id:int,frag:array<{elem_t}>>>"
     ))
     out = (
-        df.select(F.col(doc_col), F.explode(chunks).alias("c"))
+        staged.select(F.col(doc_col), F.explode(chunks).alias("c"))
         .select(
             doc_col,
             F.col("c.chunk_id").alias("chunk_id"),
@@ -612,9 +623,13 @@ def mixture_rates_from_counts(
     proportions and ``alpha -> 0`` flattens toward uniform, up-weighting
     small sources. ``target_total`` scales the recipe to a corpus size
     (default: the largest total for which no source needs rate > 1 —
-    i.e. the rarest-boosted source is taken whole). Pure driver-side
-    arithmetic on a #sources-sized dict (counts come from a one-row-per-
-    source aggregate, never corpus-sized)."""
+    i.e. the rarest-boosted source is taken whole). An EXPLICIT
+    ``target_total`` larger than that cap yields rates above 1 (epoch
+    repetition — feed them to :func:`sample_mixture` with
+    ``epoch_col``); capping them silently would both miss the requested
+    total and bend the per-source proportions away from count^alpha.
+    Pure driver-side arithmetic on a #sources-sized dict (counts come
+    from a one-row-per-source aggregate, never corpus-sized)."""
     if not counts:
         return {}
     if alpha < 0:
@@ -630,9 +645,13 @@ def mixture_rates_from_counts(
     # cap is the largest target with max_s rate_s == 1
     if target_total is None:
         target_total = min(c * tot_w / w[s] for s, c in pos.items())
-    rates = {
-        s: min(1.0, target_total * w[s] / tot_w / c) for s, c in pos.items()
-    }
+        # derivation guarantees max rate == 1; min() only absorbs float
+        # round-off, never a caller's request
+        rates = {
+            s: min(1.0, target_total * w[s] / tot_w / c) for s, c in pos.items()
+        }
+    else:
+        rates = {s: target_total * w[s] / tot_w / c for s, c in pos.items()}
     return {s: rates.get(s, 0.0) for s in counts}
 
 

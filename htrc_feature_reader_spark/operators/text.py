@@ -179,17 +179,29 @@ def tokenize(
     return df.mapInPandas(run, schema=out_schema)
 
 
+ROLLING_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 257 + b) % {mod})"
+)
+"""DuckDB replay template of :func:`rolling_hash` (base 257, mod 2^31-1
+by default) — THE cross-engine string-hash family every oracle shares.
+One definition: an edit here changes Spark-side parity consumers and
+every SQL replay together (see :func:`rolling_hash_sql`)."""
+
+
+def rolling_hash_sql(col: str, mod: int = (1 << 31) - 1) -> str:
+    """Format :data:`ROLLING_HASH_SQL` for a DuckDB expression/column."""
+    return ROLLING_HASH_SQL.format(col=col, mod=int(mod))
+
+
 def tokenize_sql(
     text_expr: str, vocab_size: int | None = None, mod: int = (1 << 31) - 1
 ) -> str:
     """The ``tokenize(method='hash')`` expression as DuckDB SQL — same
     pretokenizer regex, same rolling-hash family, bit-identical ids (for
     oracles and cross-engine replays)."""
-    rh = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(p, ''), c -> CAST(ascii(c) AS BIGINT))), "
-        f"(a, b) -> (a * 257 + b) % {mod})"
-    )
+    rh = rolling_hash_sql("p", mod=mod)
     tok = (
         f"list_transform(regexp_extract_all({text_expr}, "
         f"'{BPE_ISH_PATTERN}'), p -> {rh})"

@@ -27,8 +27,6 @@ periodic ``compact_digest_store`` if that matters.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,10 +40,28 @@ def read_digest_store(spark: SparkSession, path: str) -> DataFrame:
     no shards yet) reads as an empty relation, so first-ingest needs no
     special casing. Shards may repeat a digest only after concurrent
     same-content ingests; ``dedup_against_store`` is insensitive to that
-    (anti join), and ``compact_digest_store`` restores one-row-per-digest."""
-    if not os.path.isdir(path) or not any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    ):
+    (anti join), and ``compact_digest_store`` restores one-row-per-digest.
+
+    Existence is probed through the Hadoop FileSystem API, NOT
+    ``os.path``: the store lives wherever Spark can write (hdfs://,
+    s3a://, ...), and a driver-local ``os.path.isdir`` on such a URI is
+    always False — every ingest would silently anti-join against an
+    EMPTY store and re-admit all previously-seen documents. A genuinely
+    missing/empty path is the only case that reads empty; any other read
+    failure propagates."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return spark.createDataFrame([], _SCHEMA)
+    it = fs.listFiles(hpath, True)  # recursive
+    has_shard = False
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            has_shard = True
+            break
+    if not has_shard:
         return spark.createDataFrame([], _SCHEMA)
     return spark.read.schema(_SCHEMA).parquet(path)
 
@@ -95,15 +111,30 @@ def ingest_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = False,
+    out_path: str | None = None,
 ) -> DataFrame:
     """One ingest round: dedup ``docs`` against the store at ``path``,
     record the survivors' digests, and return the survivors (an EAGER
     call — the anti join must run before the append so the new shard
-    cannot influence its own batch's decisions)."""
+    cannot influence its own batch's decisions).
+
+    Crash-ordering contract: pass ``out_path`` whenever the survivors
+    are destined for a sink, so the DATA lands (append) BEFORE the
+    digests are recorded. A crash between the two then leaves the batch
+    unrecorded and a re-run re-admits it — duplicate output rows at
+    worst (at-least-once; downstream exact dedup or the store's next
+    compact absorbs them). The reverse order (digests first) turns the
+    same crash into silent permanent loss: the replay's anti join drops
+    every row of the batch as "already seen" while ``out_path`` never
+    received it. Callers that instead consume the returned survivors
+    must accept that loss window or persist before recording themselves.
+    """
     spark = docs.sparkSession
     survivors = dedup_against_store(
         docs, read_digest_store(spark, path), text_col, id_col, normalize
     ).localCheckpoint(eager=True)  # pin decisions before the store mutates
+    if out_path is not None:
+        survivors.write.mode("append").parquet(out_path)
     append_digests(survivors, path, id_col)
     return survivors
 

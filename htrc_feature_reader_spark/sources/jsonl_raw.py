@@ -62,6 +62,77 @@ DOCUMENTS_JSONL_SCHEMA = StructType(
 )
 
 
+def _validate_contract(
+    schema: StructType, required: tuple[str, ...], corrupt_col: str
+) -> None:
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"corrupt_col {corrupt_col!r} collides with a schema field")
+    for r in required:
+        if r not in schema.fieldNames():
+            raise ValueError(f"required column {r!r} not in schema")
+
+
+def parse_jsonl_lines(
+    text_df: DataFrame,
+    schema: StructType,
+    required: tuple[str, ...] = (),
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame, "Column"]:
+    """Shared parse/validate/split core for the batch and streaming
+    readers (one definition — the contract cannot drift between them):
+    ``text_df`` must have a string ``value`` column (plus anything a
+    caller wants to carry); returns ``(parsed, tagged, is_bad)`` where
+    ``parsed`` projects the struct/raw/src_file columns and ``tagged``
+    is ``parsed`` plus the bad-row predicate applied nowhere — callers
+    filter with ``is_bad`` themselves.
+
+    Bad-row rule: the parse failed (corrupt field set), OR ``from_json``
+    returned a NULL struct (input was valid JSON but not an object —
+    e.g. a bare ``null`` or ``3`` — which PERMISSIVE reports as neither
+    row nor corruption), OR a ``required`` column is null. Lines that
+    are empty or whitespace-only are skipped entirely (not data, not
+    quarantine-worthy), matching spark.read.json's blank-line rule.
+    """
+    _validate_contract(schema, required, corrupt_col)
+    # fresh StructType: StructType.add would mutate the caller's schema
+    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    raw = text_df.filter(F.col("value").rlike(r"\S")).select(
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("__r"),
+        F.col("value").alias("__raw"),
+        F.input_file_name().alias("src_file"),
+    )
+    null_required = F.lit(False)
+    for r in required:
+        null_required = null_required | F.col("__r")[r].isNull()
+    is_bad = (
+        F.col("__r").isNull()
+        | F.col("__r")[corrupt_col].isNotNull()
+        | null_required
+    )
+    return raw, is_bad
+
+
+def split_parsed_jsonl(
+    raw: DataFrame,
+    is_bad,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Project the shared parsed frame into ``(good, quarantine)``."""
+    data_cols = [f.name for f in schema.fields]
+    good = raw.filter(~is_bad).select(*[F.col("__r")[c].alias(c) for c in data_cols])
+    quarantine = raw.filter(is_bad).select(
+        *[F.col("__r")[c].alias(c) for c in data_cols],
+        F.col("__raw").alias(corrupt_col),
+        "src_file",
+    )
+    return good, quarantine
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str | list[str],
@@ -76,46 +147,22 @@ def read_jsonl(
     too (all-null for unparseable lines) plus ``corrupt_col`` holding
     the raw offending line verbatim and ``src_file`` for triage.
     Compressed shards (``.gz``/``.bz2``) decompress natively in the
-    text scan. Blank lines are skipped (as spark.read.json does).
+    text scan. Empty and whitespace-only lines are skipped (as
+    spark.read.json does); valid-JSON-but-not-an-object lines (a bare
+    ``null``/number/string) are quarantined, not leaked as null rows.
+
+    Parse strategy: text scan + ``from_json``, NOT ``spark.read.json``
+    — the json reader's internal corrupt column carries the SPARK-21610
+    restriction (any plan whose pruned references are corrupt-col-only,
+    e.g. ``quarantine.count()``, is rejected), while ``from_json``'s
+    corrupt field is an ordinary column. Same Jackson parse, one scan
+    feeding both frames.
     """
-    if corrupt_col in schema.fieldNames():
-        raise ValueError(f"corrupt_col {corrupt_col!r} collides with a schema field")
-    for r in required:
-        if r not in schema.fieldNames():
-            raise ValueError(f"required column {r!r} not in schema")
-    # text scan + from_json, NOT spark.read.json: the json reader's
-    # internal corrupt column carries the SPARK-21610 restriction (any
-    # plan whose pruned references are corrupt-col-only — e.g.
-    # quarantine.count() — is rejected), while from_json's corrupt field
-    # is an ordinary column. Same Jackson parse, same native .gz/.bz2
-    # decompression on the text scan, one scan feeding both frames.
-    # Fresh StructType: StructType.add would mutate the caller's schema.
-    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
-    raw = (
-        spark.read.text(path)
-        .filter(F.col("value") != "")
-        .select(
-            F.from_json(
-                F.col("value"),
-                full,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
-            ).alias("__r"),
-            F.col("value").alias("__raw"),
-            F.input_file_name().alias("src_file"),
-        )
+    _validate_contract(schema, required, corrupt_col)  # before the scan
+    raw, is_bad = parse_jsonl_lines(
+        spark.read.text(path), schema, required, corrupt_col
     )
-    data_cols = [f.name for f in schema.fields]
-    null_required = F.lit(False)
-    for r in required:
-        null_required = null_required | F.col("__r")[r].isNull()
-    is_bad = F.col("__r")[corrupt_col].isNotNull() | null_required
-    good = raw.filter(~is_bad).select(*[F.col("__r")[c].alias(c) for c in data_cols])
-    quarantine = raw.filter(is_bad).select(
-        *[F.col("__r")[c].alias(c) for c in data_cols],
-        F.col("__raw").alias(corrupt_col),
-        "src_file",
-    )
-    return good, quarantine
+    return split_parsed_jsonl(raw, is_bad, schema, corrupt_col)
 
 
 def write_jsonl(

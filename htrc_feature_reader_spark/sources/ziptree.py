@@ -130,6 +130,8 @@ def write_ef_ziptree(
         zip_expr.alias("__zip"),
     )
 
+    app_id = docs.sparkSession.sparkContext.applicationId
+
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         import time
         import zipfile
@@ -137,33 +139,9 @@ def write_ef_ziptree(
         zname = pdf["__zip"].iloc[0]
         dest = os.path.join(dest_dir, zname)
         tmp = dest + f".__tmp_{os.getpid()}"
-        # Advisory per-shard lock: within one job the groupBy guarantees a
-        # single writer per shard, so a lock conflict means a CONCURRENT
-        # populate job on the same dest_dir — whose read-merge-replace
-        # would interleave with ours and silently lose members. Fail fast
-        # and name the condition instead. O_EXCL is atomic on POSIX and
-        # HDFS-backed NFS; a lock older than _LOCK_STALE_S is from a
-        # crashed job (task retries re-enter here) and is broken.
-        lock = dest + ".__lock"
-        _LOCK_STALE_S = 3600
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}".encode())
-            os.close(fd)
-        except FileExistsError:
-            try:
-                stale = time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
-            except OSError:
-                stale = True  # vanished: the other writer just finished
-            if not stale:
-                raise RuntimeError(
-                    f"concurrent write_ef_ziptree populate detected on shard "
-                    f"{dest!r} (lock {lock!r} held by another job); concurrent "
-                    f"populates of one dest_dir are unsupported — serialize "
-                    f"them, or remove the lock if the other job crashed"
-                )
-            with open(lock, "w") as f:
-                f.write(f"{os.getpid()} {time.time()} (broke stale lock)")
+        # Encode members BEFORE taking the lock: encoding touches no
+        # shared state, and an encode error (bad payload) must not leave
+        # an orphaned lock behind.
         new: dict[str, bytes] = {}
         for h, js in zip(pdf["__htid"], pdf["__js"]):
             member = resolver_filename(h, "json", compression)
@@ -181,6 +159,45 @@ def write_ef_ziptree(
                     g.write(payload)
                 payload = buf.getvalue()
             new[member] = payload
+        # Advisory per-shard lock around the read-merge-replace critical
+        # section only: within one job the groupBy guarantees a single
+        # LIVE writer per shard, so a foreign-job lock means a CONCURRENT
+        # populate on the same dest_dir — whose read-merge-replace would
+        # interleave with ours and silently lose members. Fail fast and
+        # name that condition. O_EXCL is atomic on POSIX and HDFS-backed
+        # NFS. The lock payload carries the Spark application id: a lock
+        # left by a crashed attempt of THIS job (task retry — finally
+        # never ran, e.g. executor OOM-kill) is recognized by matching
+        # app id and broken immediately, so retries stay routinely
+        # recoverable instead of failing the job; a FOREIGN lock is only
+        # broken once older than _LOCK_STALE_S.
+        lock = dest + ".__lock"
+        _LOCK_STALE_S = 3600
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{app_id} {os.getpid()} {time.time()}".encode())
+            os.close(fd)
+        except FileExistsError:
+            try:
+                with open(lock) as lf:
+                    owner = lf.read().split(" ", 1)[0]
+            except OSError:
+                owner = ""  # vanished: the other writer just finished
+            try:
+                stale = time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
+            except OSError:
+                stale = True
+            if owner != app_id and not stale:
+                raise RuntimeError(
+                    f"concurrent write_ef_ziptree populate detected on shard "
+                    f"{dest!r} (lock {lock!r} held by job {owner!r}); "
+                    f"concurrent populates of one dest_dir are unsupported — "
+                    f"serialize them, or remove the lock if the other job "
+                    f"crashed"
+                )
+            reason = "own retry" if owner == app_id else "broke stale lock"
+            with open(lock, "w") as f:
+                f.write(f"{app_id} {os.getpid()} {time.time()} ({reason})")
         # MERGE with a pre-existing shard: a 'w'-mode rewrite would delete
         # every prior member that hashed into this shard (incremental
         # populate across jobs would silently lose volumes). Carry old

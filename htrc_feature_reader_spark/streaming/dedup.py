@@ -79,22 +79,25 @@ def stream_ingest_against_store(
     EVER seen this" set lives in the store's parquet shards, not in the
     query's state store — so it survives checkpoint deletion, is shared
     with batch ingests, and is ~16 bytes/doc instead of full-row state.
-    ``foreachBatch`` is exactly-once-per-epoch on restart only if the
-    batch work is idempotent: here a replayed epoch re-drops already-
-    recorded digests (anti join), so the output gains no duplicates and
-    at worst the store gains redundant shard rows (anti-join-insensitive,
-    reclaimed by ``compact_digest_store``) — convergent, like the batch
-    path's crash story.
+    Crash story (at-least-once by construction): each epoch writes the
+    surviving DATA to ``out_path`` before recording digests — a crash
+    between the two replays the epoch, the still-unrecorded batch is
+    re-admitted, and ``out_path`` gains duplicate rows at worst
+    (absorbed by any downstream exact dedup). The reverse order would
+    turn that crash into silent permanent loss: digests recorded, data
+    never written, replay anti-joins the whole batch away. A replayed
+    epoch that completed both steps re-drops its digests (anti join) and
+    appends nothing — convergent.
 
     Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
     """
     from ..sources.digest_store import ingest_batch
 
     def each_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        survivors = ingest_batch(
-            batch_df, store_path, text_col, id_col, normalize
+        # out_path ordering: data before digests (see crash story above)
+        ingest_batch(
+            batch_df, store_path, text_col, id_col, normalize, out_path=out_path
         )
-        survivors.write.mode("append").parquet(out_path)
 
     writer = docs.writeStream.foreachBatch(each_batch).option(
         "checkpointLocation", checkpoint_dir

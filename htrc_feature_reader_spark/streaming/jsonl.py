@@ -28,9 +28,14 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import StructType
 
-from ..sources.jsonl_raw import SEQUENCES_JSONL_SCHEMA
+from ..sources.jsonl_raw import (
+    SEQUENCES_JSONL_SCHEMA,
+    _validate_contract,
+    parse_jsonl_lines,
+    split_parsed_jsonl,
+)
 
 
 def stream_jsonl(
@@ -45,53 +50,27 @@ def stream_jsonl(
     """Streaming ``(good, quarantine)`` — or one tagged stream — over a
     JSONL landing directory.
 
-    ``good`` has exactly ``schema``'s columns; ``quarantine`` adds
-    ``corrupt_col`` (the raw offending line verbatim) and ``src_file``.
-    ``required=`` promotes contract-null rows (parseable JSON with a
-    required field null/missing) into quarantine, as in the batch
-    reader. ``max_files_per_trigger`` bounds micro-batch size for
-    backpressure (pick it so one batch fits the trigger cadence).
+    The parse/validate/split core is SHARED with the batch reader
+    (``sources.jsonl_raw.parse_jsonl_lines`` — one definition of the
+    contract, including the NULL-struct guard for valid-JSON-non-object
+    lines), so batch and streaming ingest cannot drift. ``required=``
+    promotes contract-null rows into quarantine. ``max_files_per_
+    trigger`` bounds micro-batch size for backpressure (pick it so one
+    batch fits the trigger cadence).
     """
-    if corrupt_col in schema.fieldNames():
-        raise ValueError(f"corrupt_col {corrupt_col!r} collides with a schema field")
-    for r in required:
-        if r not in schema.fieldNames():
-            raise ValueError(f"required column {r!r} not in schema")
+    _validate_contract(schema, required, corrupt_col)  # before the scan
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
-    raw = (
-        reader.text(path)
-        .filter(F.col("value") != "")
-        .select(
-            F.from_json(
-                F.col("value"),
-                full,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
-            ).alias("__r"),
-            F.col("value").alias("__raw"),
-            F.input_file_name().alias("src_file"),
-        )
-    )
-    data_cols = [f.name for f in schema.fields]
-    null_required = F.lit(False)
-    for r in required:
-        null_required = null_required | F.col("__r")[r].isNull()
-    is_bad = F.col("__r")[corrupt_col].isNotNull() | null_required
+    raw, is_bad = parse_jsonl_lines(reader.text(path), schema, required, corrupt_col)
     if not split:
+        data_cols = [f.name for f in schema.fields]
         return raw.select(
             *[F.col("__r")[c].alias(c) for c in data_cols],
             F.when(is_bad, F.col("__raw")).alias(corrupt_col),
             "src_file",
         )
-    good = raw.filter(~is_bad).select(*[F.col("__r")[c].alias(c) for c in data_cols])
-    quarantine = raw.filter(is_bad).select(
-        *[F.col("__r")[c].alias(c) for c in data_cols],
-        F.col("__raw").alias(corrupt_col),
-        "src_file",
-    )
-    return good, quarantine
+    return split_parsed_jsonl(raw, is_bad, schema, corrupt_col)
 
 
 def route_good_and_quarantine(

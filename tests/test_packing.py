@@ -479,3 +479,31 @@ def test_pack_documents_padded_no_shuffle_plan(spark):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_mixture_rates_explicit_target_can_oversample():
+    """Review finding: an explicit target_total above the no-oversample
+    cap must yield rates > 1 (epoch repetition), not a silently clipped
+    recipe that misses the total and bends the count^alpha proportions."""
+    from htrc_feature_reader_spark.operators.packing import (
+        mixture_rates_from_counts,
+    )
+
+    counts = {"rare": 100, "big": 1_000_000}
+    rates = mixture_rates_from_counts(counts, alpha=0.3, target_total=500_000)
+    assert rates["rare"] > 1.0
+    expected_total = sum(rates[s] * counts[s] for s in counts)
+    assert abs(expected_total - 500_000) < 1.0  # recipe hits the target
+    # default derivation still caps at exactly 1 for the boosted source
+    d = mixture_rates_from_counts(counts, alpha=0.3)
+    assert max(d.values()) == 1.0
+
+
+def test_sample_mixture_epoch_col_collision_raises(spark):
+    from htrc_feature_reader_spark.operators.packing import sample_mixture
+
+    df = spark.createDataFrame(
+        [(1, "a", 0)], "doc_id long, source string, epoch int"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        sample_mixture(df, {"a": 1.5}, epoch_col="epoch")

@@ -268,3 +268,20 @@ def test_ensure_min_parallelism_noop_above_threshold(spark):
     df = spark.range(100)
     out = ensure_min_parallelism(df, size_threshold=1)  # estimate >= 1 byte
     assert "RoundRobinPartitioning" not in out._jdf.queryExecution().toString()
+
+
+def test_read_jsonl_nonobject_and_whitespace_lines(spark, tmp_path):
+    """Valid-JSON-but-not-an-object lines quarantine; whitespace-only
+    lines are skipped entirely (review finding: from_json returns a NULL
+    struct for both, which must not leak as an all-null good row)."""
+    d = str(tmp_path / "nullstruct")
+    os.makedirs(d)
+    _write_lines(
+        os.path.join(d, "p.json"),
+        ['{"doc_id": "a", "tokens": [1], "n_tok": 1, "source": "w"}',
+         "   ", "\t", "null", "3"],
+    )
+    good, bad = read_jsonl(spark, d)
+    assert [r.doc_id for r in good.collect()] == ["a"]
+    raws = sorted(r._corrupt_record for r in bad.collect())
+    assert raws == ["3", "null"]  # whitespace lines skipped, not quarantined

@@ -166,3 +166,22 @@ def test_ziptree_concurrent_populate_detected(spark, tmp_path):
     os.utime(lock, (old, old))
     assert write_ef_ziptree(docs, dest).collect()[0]["n_members"] == 1
     assert os.path.exists(shard) and not os.path.exists(lock)
+
+
+def test_ziptree_own_job_retry_breaks_lock(spark, tmp_path):
+    """A lock left by a crashed attempt of the SAME job (task retry —
+    finally never ran) is recognized by application id and broken
+    immediately, so retries stay recoverable instead of job-fatal."""
+    from htrc_feature_reader_spark.sources.ids import ziptree_zipfile
+
+    dest = str(tmp_path / "ztretry")
+    os.makedirs(dest)
+    docs = spark.createDataFrame(
+        [("uc2.ark:/13960/t0", '{"a": 1}')], "htid string, json string")
+    shard = os.path.join(dest, ziptree_zipfile("uc2.ark:/13960/t0"))
+    lock = shard + ".__lock"
+    with open(lock, "w") as f:
+        f.write(f"{spark.sparkContext.applicationId} 999 0.0")
+    out = write_ef_ziptree(docs, dest).collect()  # fresh lock, not stale
+    assert out[0].n_members == 1
+    assert not os.path.exists(lock)
