@@ -1270,6 +1270,71 @@ def _incremental_dedup_sql() -> str:
     """
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Incremental NEAR-dup signature store (sources/signature_store.py):
+    the corpus is ingested in three ascending-doc_id batches, each
+    suppressed within itself (verified LSH pairs, larger id drops) and
+    against every signature recorded by earlier batches. Record-all
+    semantics + content-deterministic signatures make this EXACTLY
+    equivalent to the one-shot rule "drop d iff a verified pair (a, d)
+    with a < d exists" — which is what the oracle computes, so the
+    incremental plumbing itself (store reads, shard appends, precedence)
+    is value-checked, not just the miner. No stop-shingle cap on either
+    side: corpus-frequency stats are batch-dependent and would break the
+    equivalence (the store docstring mandates fixed stop lists instead)."""
+    import shutil
+
+    from htrc_feature_reader_spark.sources.signature_store import (
+        ingest_batch_near_dup, word_minhash_signatures)
+
+    store = _rt_path(sf_dir, "sig_store")
+    out_dir = _rt_path(sf_dir, "sig_out")
+    shutil.rmtree(store, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    step = (int(hi) - int(lo)) // 3 + 1
+    for k in range(3):
+        b = docs.filter(
+            (F.col("doc_id") >= lo + k * step)
+            & (F.col("doc_id") < lo + (k + 1) * step)
+        )
+        ingest_batch_near_dup(
+            b, store, word_minhash_signatures(b), threshold=0.25,
+            out_path=out_dir,
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+def _incremental_neardup_sql() -> str:
+    """Oracle for q_incremental_near_dup: the one-shot predecessor rule
+    over the SAME integer minhash family (no stop-shingle filter — see
+    the query docstring), replayed corpus-wide in DuckDB."""
+    hash_exprs = ", ".join(
+        f"min(({a} * (((sid + 1) * 2654435761) % {_MH_P}) + {b}) % {_MH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MH_COEF)
+    )
+    band_conds = " OR ".join(
+        f"(a.h{2*b} = b.h{2*b} AND a.h{2*b+1} = b.h{2*b+1})" for b in range(4)
+    )
+    match_sum = " + ".join(f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(_MH_N))
+    sid = _SQL_ROLLHASH.format(col="shingle")
+    return f"""
+      WITH sh AS ({_SQL_SHINGLES}),
+      ds AS (SELECT DISTINCT doc_id, {sid} AS sid FROM sh),
+      mh AS (SELECT doc_id, {hash_exprs} FROM ds GROUP BY doc_id),
+      dropped AS (
+        SELECT DISTINCT b.doc_id
+        FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_conds})
+        WHERE ({match_sum}) / {_MH_N}.0 >= 0.25)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+      FROM documents d ANTI JOIN dropped USING (doc_id)
+    """
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag every training doc sharing a word
     3-gram with the 'eval suite' (here: the texts of doc_id < 5). The
@@ -2230,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "take_per_source": q_take_per_source,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_near_dup": q_incremental_near_dup,
         "split_by_hash": q_split_by_hash,
         "shuffle_order": q_shuffle_order,
         "length_bucket": q_length_bucket,
@@ -3001,6 +3067,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition": _repetition_sql(),
         "take_per_source": _take_per_source_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
+        "incremental_near_dup": _incremental_neardup_sql(),
         "split_by_hash": _split_by_hash_sql(),
         "shuffle_order": _shuffle_order_sql(),
         "length_bucket": _length_bucket_sql(),

@@ -284,6 +284,28 @@ def _cap_buckets(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFram
     return bands.join(ok, on=keys, how="left_semi")
 
 
+def band_rows(
+    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """(id, sig, band, bucket) — one row per (doc, band), bucket = the
+    band's signature slice. The single banding definition shared by the
+    one-shot miner (:func:`lsh_candidate_pairs`) and the incremental
+    signature store (:mod:`..sources.signature_store`): the store's
+    batch-vs-history collision join is only equivalent to the one-shot
+    self-join if both sides band identically, so the slice expression
+    must not drift between them."""
+    return signatures.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(*[
+                F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                for b in range(n_bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = 4,
@@ -308,16 +330,7 @@ def lsh_candidate_pairs(
     costs two key joins against ``signatures`` (re-running MinHash when
     the plan isn't materialized); use it only for pairs from elsewhere.
     """
-    bands = signatures.select(
-        "id",
-        "sig",
-        F.posexplode(
-            F.array(*[
-                F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                for b in range(n_bands)
-            ])
-        ).alias("band", "bucket"),
-    )
+    bands = band_rows(signatures, n_bands, rows_per_band)
     if max_bucket is not None:
         bands = _cap_buckets(bands, ["band", "bucket"], max_bucket)
     carry_a = ["sig"] if verify_threshold is not None else []

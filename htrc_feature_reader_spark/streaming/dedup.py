@@ -105,3 +105,64 @@ def stream_ingest_against_store(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_near_dup(
+    docs: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    sig_fn=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+    trigger_available_now: bool = False,
+):
+    """Streaming face of the incremental NEAR-dup signature store
+    (:mod:`..sources.signature_store`): each micro-batch is one
+    :func:`~..sources.signature_store.ingest_batch_near_dup` round —
+    suppress the batch's near-duplicates within itself AND against every
+    document ever processed (across restarts, jobs, and batch/stream
+    boundaries), append survivors to ``out_path`` and ALL batch
+    signatures to the store.
+
+    ``sig_fn(batch_df) -> (id, sig)`` builds the batch's MinHash
+    signatures; it MUST be deterministic in content alone (same shingle
+    family and seed every batch) or history collisions are meaningless.
+    Default: :func:`~..sources.signature_store.word_minhash_signatures`
+    over ``text_col``/``id_col``. State is the store's parquet shards
+    (~72 bytes/doc), not the query's state store — it survives checkpoint
+    deletion and is shared with batch ingests. Crash story: at-least-once
+    (data lands before signatures; see the store module docstring).
+
+    Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
+    """
+    from ..sources.signature_store import (
+        ingest_batch_near_dup,
+        word_minhash_signatures,
+    )
+
+    if sig_fn is None:
+        def sig_fn(batch_df):
+            return word_minhash_signatures(batch_df, text_col, id_col)
+
+    def each_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_batch_near_dup(
+            batch_df,
+            store_path,
+            sig_fn(batch_df),
+            id_col=id_col,
+            n_bands=n_bands,
+            rows_per_band=rows_per_band,
+            threshold=threshold,
+            out_path=out_path,
+        )
+
+    writer = docs.writeStream.foreachBatch(each_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
