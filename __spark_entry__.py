@@ -2201,13 +2201,32 @@ def q_training_pipeline(spark, sf_dir):
     )
 
 
-def _pipeline_sql() -> str:
+def _ds_cte(stop_cap: bool) -> str:
+    """The shingle-id CTE body for _pipeline_sql: with the >50%-df stop
+    cap (one-shot default) or a plain pass-through (incremental rule)."""
+    if stop_cap:
+        return """
+        SELECT ds0.doc_id, ds0.sid FROM ds0
+        ANTI JOIN (
+          SELECT sid FROM ds0 GROUP BY sid
+          HAVING count(*) > 0.5 * (SELECT count(DISTINCT doc_id) FROM ds0)
+        ) stop USING (sid)"""
+    return "SELECT doc_id, sid FROM ds0"
+
+
+def _pipeline_sql(stop_cap: bool = True, threshold: float = 0.5) -> str:
     """Oracle for q_training_pipeline: the full funnel in one query —
     quality thresholds (CleanConfig defaults), keep-min exact dedup,
     then the engine's exact minhash/LSH chain over the SURVIVORS (same
     hash-then-cap order as _minhash_sql), candidate pairs VERIFIED by the
     signature-estimated Jaccard (matching positions / n_hashes >= 0.5 —
-    CleanConfig.near_dup_threshold) before the larger id is dropped."""
+    CleanConfig.near_dup_threshold) before the larger id is dropped.
+
+    Parametrized for its second caller, _incremental_clean_sql: the
+    incremental path forbids the corpus-frequency stop cap (batch-
+    dependent; ``stop_cap=False`` keeps every shingle) and the driver
+    query runs it at ``threshold=0.25``. Defaults reproduce the
+    q_training_pipeline oracle unchanged."""
     hash_exprs = ", ".join(
         f"min(({a} * (((sid + 1) * 2654435761) % {_MH_P}) + {b}) % {_MH_P}) AS h{i}"
         for i, (a, b) in enumerate(_MH_COEF)
@@ -2245,23 +2264,62 @@ def _pipeline_sql() -> str:
                                      i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM surv)),
       ds0 AS (SELECT DISTINCT doc_id, {sid} AS sid FROM shs),
-      ds AS (
-        SELECT ds0.doc_id, ds0.sid FROM ds0
-        ANTI JOIN (
-          SELECT sid FROM ds0 GROUP BY sid
-          HAVING count(*) > 0.5 * (SELECT count(DISTINCT doc_id) FROM ds0)
-        ) stop USING (sid)),
+      ds AS ({_ds_cte(stop_cap)}),
       mh AS (SELECT doc_id, {hash_exprs} FROM ds GROUP BY doc_id),
       dropped AS (
         SELECT DISTINCT b.doc_id AS doc_id
         FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_conds})
-        WHERE ({match_sum}) / {_MH_N}.0 >= 0.5),
+        WHERE ({match_sum}) / {_MH_N}.0 >= {threshold}),
       final AS (SELECT * FROM surv ANTI JOIN dropped USING (doc_id))
       SELECT doc_id, lang, n_chars, n_tokens,
              n_tokens AS ws_tokens,
              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
       FROM final
     """
+
+
+def q_incremental_clean(spark, sf_dir):
+    """Incremental clean_corpus (operators/pipeline.py:ingest_clean_batch):
+    three ascending-doc_id batches, each quality-filtered, exact-deduped
+    against the digest store, near-dup-suppressed against the signature
+    store, then recorded. With id-ordered batches, no corpus-frequency
+    stop cap (forbidden incrementally — the config's cap is neutralized
+    at frac=1.0 one-shot), and 'pairs' survivorship, the result equals
+    the one-shot funnel — which is what the oracle computes, so the
+    two-store composition is value-checked end to end."""
+    import shutil
+
+    from htrc_feature_reader_spark.operators.pipeline import (
+        CleanConfig, ingest_clean_batch)
+
+    dp = _rt_path(sf_dir, "clean_dig")
+    sp = _rt_path(sf_dir, "clean_sig")
+    outd = _rt_path(sf_dir, "clean_out")
+    for p in (dp, sp, outd):
+        shutil.rmtree(p, ignore_errors=True)
+    docs = _t(spark, sf_dir, "documents")
+    cfg = CleanConfig(stop_shingle_frac=1.0, near_dup_threshold=0.25)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    step = (int(hi) - int(lo)) // 3 + 1
+    for k in range(3):
+        b = docs.filter(
+            (F.col("doc_id") >= lo + k * step)
+            & (F.col("doc_id") < lo + (k + 1) * step)
+        )
+        ingest_clean_batch(b, dp, sp, cfg, out_path=outd)
+    return spark.read.parquet(outd).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
+
+
+def _incremental_clean_sql() -> str:
+    """Oracle for q_incremental_clean: the one-shot funnel with the stop
+    cap off and the driver query's 0.25 verification threshold."""
+    return _pipeline_sql(stop_cap=False, threshold=0.25)
 
 
 # ---------------------------------------------------------------------------
@@ -2296,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_per_source": q_take_per_source,
         "incremental_dedup": q_incremental_dedup,
         "incremental_near_dup": q_incremental_near_dup,
+        "incremental_clean": q_incremental_clean,
         "split_by_hash": q_split_by_hash,
         "shuffle_order": q_shuffle_order,
         "length_bucket": q_length_bucket,
@@ -3068,6 +3127,7 @@ def oracle_sql() -> dict[str, str]:
         "take_per_source": _take_per_source_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
         "incremental_near_dup": _incremental_neardup_sql(),
+        "incremental_clean": _incremental_clean_sql(),
         "split_by_hash": _split_by_hash_sql(),
         "shuffle_order": _shuffle_order_sql(),
         "length_bucket": _length_bucket_sql(),

@@ -73,6 +73,32 @@ class CleanConfig:
     extra_filters: list = field(default_factory=list)  # extra Column predicates
 
 
+def _quality_lang(docs: DataFrame, cfg: CleanConfig, text_col: str) -> DataFrame:
+    """The pipeline's row-local prefix (quality thresholds, extra
+    predicates, language filter) — pure Catalyst projections/filters with
+    no corpus-wide state, shared verbatim by the one-shot
+    :func:`clean_corpus` and the incremental :func:`ingest_clean_batch`
+    (batch-independence of this prefix is what lets the incremental path
+    apply it per batch without changing semantics)."""
+    q = quality_features(docs, text_col)
+    keep = (
+        (F.col("n_chars") >= cfg.min_chars)
+        & (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("avg_token_len") <= cfg.max_avg_token_len)
+        & (F.col("distinct_ratio") >= cfg.min_distinct_ratio)
+        & (F.col("punct_ratio") <= cfg.max_punct_ratio)
+    )
+    for extra in cfg.extra_filters:
+        keep = keep & extra
+    q = q.filter(keep)
+
+    if not (cfg.use_stored_lang and "lang" in q.columns):
+        q = q.withColumn("lang", lang_id(F.col(text_col)))
+    if cfg.keep_langs is not None:
+        q = q.filter(F.col("lang").isin(cfg.keep_langs))
+    return q
+
+
 def clean_corpus(
     docs: DataFrame,
     config: CleanConfig | None = None,
@@ -91,22 +117,7 @@ def clean_corpus(
     with the eval texts is dropped (:func:`..dedup.decontaminate`).
     """
     cfg = config or CleanConfig()
-    q = quality_features(docs, text_col)
-    keep = (
-        (F.col("n_chars") >= cfg.min_chars)
-        & (F.col("n_tokens") >= cfg.min_tokens)
-        & (F.col("avg_token_len") <= cfg.max_avg_token_len)
-        & (F.col("distinct_ratio") >= cfg.min_distinct_ratio)
-        & (F.col("punct_ratio") <= cfg.max_punct_ratio)
-    )
-    for extra in cfg.extra_filters:
-        keep = keep & extra
-    q = q.filter(keep)
-
-    if not (cfg.use_stored_lang and "lang" in q.columns):
-        q = q.withColumn("lang", lang_id(F.col(text_col)))
-    if cfg.keep_langs is not None:
-        q = q.filter(F.col("lang").isin(cfg.keep_langs))
+    q = _quality_lang(docs, cfg, text_col)
 
     # exact dedup: survivors are the min-id row per content digest
     keepers = exact_duplicates(q, text_col=text_col, id_col=id_col).select(
@@ -168,3 +179,123 @@ def survivorship(docs: DataFrame, cleaned: DataFrame,
             F.round(1.0 - F.col("n_out") / F.col("n_in"), 6)
         ).alias("drop_rate"),
     )
+
+
+def ingest_clean_batch(
+    docs: DataFrame,
+    digest_path: str,
+    sig_path: str,
+    config: CleanConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_path: str | None = None,
+    eval_df: DataFrame | None = None,
+    stop_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The incremental face of :func:`clean_corpus`: clean ONE ingest
+    batch against the full history held in the exact-dedup digest store
+    (``digest_path``, :mod:`..sources.digest_store`) and the near-dup
+    signature store (``sig_path``, :mod:`..sources.signature_store`),
+    then record what this batch contributes to that history. A 100 TB
+    corpus is cleaned once with ``clean_corpus``; every later crawl drop
+    is cleaned with this — without re-scanning the corpus.
+
+    Per batch: row-local quality/language filters (batch-independent,
+    shared code with ``clean_corpus``) -> exact dedup within the batch
+    and against the digest store -> MinHash near-dup suppression within
+    the batch and against the signature store -> optional eval-set
+    decontamination -> token counts. The stores then record ALL exact
+    survivors (digests AND signatures, kept or near-dup-dropped — the
+    record-all rule that makes id-ordered incremental ingest EXACTLY the
+    one-shot ``survivorship='pairs'`` result; see the signature-store
+    module docstring for the equivalence argument).
+
+    Two deliberate deviations from ``CleanConfig``, both forced by
+    incrementality and raised/ignored loudly rather than silently
+    diverging:
+
+    - ``survivorship='clusters'`` is REJECTED: component minima change as
+      edges arrive, so cluster survivorship cannot be decided per batch.
+    - ``stop_shingle_frac`` is IGNORED: corpus document frequencies are
+      batch-dependent, so a frequency cap would make the result depend on
+      batch boundaries. Pass ``stop_shingles`` (a fixed DataFrame with a
+      ``shingle_id`` column, e.g. mined once from a reference corpus via
+      ``remove_stop_shingles``'s complement) for the same protection with
+      batch-independent semantics.
+
+    Crash ordering (same contract as both stores): survivors' DATA lands
+    at ``out_path`` BEFORE either store is appended — a crash between the
+    steps re-admits the batch on replay (duplicate rows at worst), never
+    silently loses it. Returns the surviving rows (EAGER: decisions are
+    pinned before the stores mutate).
+    """
+    from ..sources.digest_store import (
+        append_digests,
+        dedup_against_store,
+        read_digest_store,
+    )
+    from ..sources.signature_store import (
+        append_signatures,
+        neardup_against_store,
+        read_signature_store,
+    )
+
+    cfg = config or CleanConfig()
+    if cfg.near_dup and cfg.survivorship != "pairs":
+        raise ValueError(
+            "incremental ingest supports survivorship='pairs' only: "
+            "connected-component minima cannot be decided per batch "
+            f"(got {cfg.survivorship!r}) — run clean_corpus one-shot for "
+            "cluster survivorship"
+        )
+    spark = docs.sparkSession
+
+    q = _quality_lang(docs, cfg, text_col)
+    # exact: within-batch min-id + digest-store anti join; pin before any
+    # store mutates (the plan reads the store path)
+    ex = dedup_against_store(
+        q, read_digest_store(spark, digest_path), text_col, id_col
+    ).localCheckpoint(eager=True)
+
+    survivors, sigs = ex, None
+    if cfg.near_dup:
+        sh = word_shingle_ids(ex, text_col, id_col, n=cfg.shingle_n)
+        if stop_shingles is not None:
+            sh = sh.join(
+                stop_shingles.select("shingle_id"), on="shingle_id",
+                how="left_anti",
+            )
+        sigs = minhash_signatures(sh, n_hashes=cfg.minhash_hashes)
+        survivors = neardup_against_store(
+            ex,
+            read_signature_store(spark, sig_path),
+            sigs,
+            id_col=id_col,
+            n_bands=cfg.lsh_bands,
+            rows_per_band=cfg.lsh_rows,
+            # None = raw candidacy in clean_corpus; agreement >= 0 is the
+            # same rule here (every collision drops)
+            threshold=(
+                0.0 if cfg.near_dup_threshold is None
+                else cfg.near_dup_threshold
+            ),
+        ).localCheckpoint(eager=True)
+
+    final = survivors
+    if eval_df is not None:
+        from .dedup import decontaminate
+
+        final = decontaminate(final, eval_df, text_col=text_col,
+                              id_col=id_col, n=cfg.decontaminate_n)
+    final = final.withColumn("ws_tokens", F.col("n_tokens")).withColumn(
+        "bpe_tokens", bpe_ish_token_count(F.col(text_col))
+    )
+
+    if out_path is not None:
+        final.write.mode("append").parquet(out_path)
+    # record-all: every exact survivor's digest and signature, kept or
+    # near-dup-dropped (sigs reference the pinned `ex`, not the stores)
+    append_digests(ex, digest_path, id_col)
+    if sigs is not None:
+        append_signatures(sigs, sig_path)
+    return final
