@@ -43,7 +43,6 @@ from htrc_feature_reader_spark.operators import (
     simhash,
     term_page_freqs,
     tokens_per_page,
-    word_shingles,
 )
 from htrc_feature_reader_spark.operators.text import (
     BPE_ISH_PATTERN,
@@ -134,17 +133,6 @@ _SQL_SHINGLES = """
          unnest(list_transform(range(0, greatest(len(l) - 2, 0)),
                                i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
   FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-"""
-
-# stop-shingle cap (default in the near-dup entry paths): drop shingles in
-# > 50% of docs — they carry no similarity signal and make LSH buckets /
-# shared-shingle join keys quadratic at corpus scale
-_SQL_SHINGLES_CAPPED = f"""
-  SELECT sh.doc_id, sh.shingle FROM ({_SQL_SHINGLES}) sh
-  ANTI JOIN (
-    SELECT shingle FROM ({_SQL_SHINGLES}) GROUP BY shingle
-    HAVING count(*) > 0.5 * (SELECT count(DISTINCT doc_id) FROM ({_SQL_SHINGLES}))
-  ) stop USING (shingle)
 """
 
 # sequences derived deterministically from events (north-rule input shape;
@@ -571,9 +559,20 @@ def q_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup pairs (3-word shingles, tau=0.2), with the
     stop-shingle cap on (shingles in > 50% of docs dropped before the
     shared-shingle join — the guard that keeps the join non-quadratic on
-    boilerplate shingles at corpus scale)."""
+    boilerplate shingles at corpus scale).
+
+    Shingles are the HASHED ids of word_shingle_ids, not strings: the
+    shared-shingle join then shuffles 8-byte longs instead of ~20-byte
+    n-gram strings (and no shingle string is ever materialized — one
+    char pass per doc). Jaccard over hashed ids can merge colliding
+    shingles; the oracle replays the identical hash family, so even
+    collisions agree (the repo's standard exact-integer oracle trick)."""
+    from htrc_feature_reader_spark.operators.dedup import word_shingle_ids
+
     docs = _t(spark, sf_dir, "documents")
-    sh = word_shingles(docs, "text", "doc_id", n=3)
+    sh = word_shingle_ids(docs, "text", "doc_id", n=3).withColumnRenamed(
+        "shingle_id", "shingle"
+    )
     sh = remove_stop_shingles(sh, max_df_frac=0.5, assume_distinct=True)
     return jaccard_pairs(sh, threshold=0.2).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jacc"
@@ -2441,6 +2440,35 @@ from htrc_feature_reader_spark.operators.text import (  # noqa: E402
 _SQL_ROLLHASH = _ROLLHASH_TMPL.replace("{mod}", "2147483647")
 
 
+def _jaccard_sql() -> str:
+    """Oracle for q_jaccard_pairs: Jaccard over HASHED shingle ids in the
+    engine's hash-then-cap order (same rationale as _minhash_sql — under
+    a collision, the merged id's document frequency and per-doc shingle
+    sets are what the engine sees, so the oracle replays them)."""
+    sid = _SQL_ROLLHASH.format(col="shingle")
+    return f"""
+      WITH sh AS ({_SQL_SHINGLES}),
+      ds0 AS (SELECT DISTINCT doc_id, {sid} AS sid FROM sh),
+      ds AS (
+        SELECT ds0.doc_id, ds0.sid FROM ds0
+        ANTI JOIN (
+          SELECT sid FROM ds0 GROUP BY sid
+          HAVING count(*) > 0.5 * (SELECT count(DISTINCT doc_id) FROM ds0)
+        ) stop USING (sid)),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY 1),
+      common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM ds a JOIN ds b ON a.sid = b.sid AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             n_common / (sa.n_sh + sb.n_sh - n_common) AS jacc
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """
+
+
 def _minhash_sql() -> str:
     """Oracle for q_minhash_lsh. Order matters: the engine path hashes
     shingles to ids map-side FIRST (word_shingle_ids) and applies the
@@ -2988,20 +3016,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
           FROM documents GROUP BY 1
         """,
-        "jaccard_pairs": f"""
-          WITH sh AS ({_SQL_SHINGLES_CAPPED}),
-          sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-          common AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2)
-          SELECT doc_a, doc_b,
-                 n_common / (sa.n_sh + sb.n_sh - n_common) AS jacc
-          FROM common
-          JOIN sizes sa ON sa.doc_id = doc_a
-          JOIN sizes sb ON sb.doc_id = doc_b
-          WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
-        """,
+        "jaccard_pairs": _jaccard_sql(),
         "minhash_lsh": _minhash_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "simhash": _simhash_sql(),
