@@ -224,10 +224,13 @@ def ingest_clean_batch(
       batch-independent semantics.
 
     Crash ordering (same contract as both stores): survivors' DATA lands
-    at ``out_path`` BEFORE either store is appended — a crash between the
-    steps re-admits the batch on replay (duplicate rows at worst), never
-    silently loses it. Returns the surviving rows (EAGER: decisions are
-    pinned before the stores mutate).
+    at ``out_path`` BEFORE either store is appended, and between the two
+    stores SIGNATURES land before DIGESTS — a crash in any window
+    re-admits or self-suppresses the batch on replay (duplicate rows /
+    a redundant signature shard at worst), never silently loses history
+    (the digests-first order would: see the inline comment). Returns the
+    surviving rows (EAGER: decisions are pinned before the stores
+    mutate).
     """
     from ..sources.digest_store import (
         append_digests,
@@ -265,7 +268,12 @@ def ingest_clean_batch(
                 stop_shingles.select("shingle_id"), on="shingle_id",
                 how="left_anti",
             )
-        sigs = minhash_signatures(sh, n_hashes=cfg.minhash_hashes)
+        # pinned once: the shingle folds + MinHash aggregation would
+        # otherwise run twice (under the neardup joins and again in the
+        # append) — the dominant CPU stage of the round
+        sigs = minhash_signatures(
+            sh, n_hashes=cfg.minhash_hashes
+        ).localCheckpoint(eager=True)
         survivors = neardup_against_store(
             ex,
             read_signature_store(spark, sig_path),
@@ -293,9 +301,18 @@ def ingest_clean_batch(
 
     if out_path is not None:
         final.write.mode("append").parquet(out_path)
-    # record-all: every exact survivor's digest and signature, kept or
-    # near-dup-dropped (sigs reference the pinned `ex`, not the stores)
-    append_digests(ex, digest_path, id_col)
+    # record-all (every exact survivor, kept or near-dup-dropped), with
+    # SIGNATURES STRICTLY BEFORE DIGESTS: a crash after the digest append
+    # would make the replay's exact stage drop the whole batch as
+    # already-seen, so the signature append would never run and the
+    # batch's near-dup history would be silently lost FOREVER (later
+    # near-dups of these docs would ship). In this order the same crash
+    # replays to: exact stage re-admits (digests unrecorded), near-dup
+    # stage self-collides against the already-appended signatures, out
+    # gains at worst the few signature-less rows again, and the digest
+    # append completes — convergent, with one redundant signature shard
+    # (compact_signature_store absorbs it).
     if sigs is not None:
         append_signatures(sigs, sig_path)
+    append_digests(ex, digest_path, id_col)
     return final

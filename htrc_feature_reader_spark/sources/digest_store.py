@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import content_digest
+from .store_common import compact_shard_store, read_shard_store
 
 _SCHEMA = "digest string, keep_id long"
 
@@ -48,22 +49,9 @@ def read_digest_store(spark: SparkSession, path: str) -> DataFrame:
     always False — every ingest would silently anti-join against an
     EMPTY store and re-admit all previously-seen documents. A genuinely
     missing/empty path is the only case that reads empty; any other read
-    failure propagates."""
-    jvm = spark._jvm
-    jsc = spark._jsc
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return spark.createDataFrame([], _SCHEMA)
-    it = fs.listFiles(hpath, True)  # recursive
-    has_shard = False
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            has_shard = True
-            break
-    if not has_shard:
-        return spark.createDataFrame([], _SCHEMA)
-    return spark.read.schema(_SCHEMA).parquet(path)
+    failure propagates. (Probe + shard scan shared with the signature
+    store via :func:`.store_common.read_shard_store`.)"""
+    return read_shard_store(spark, path, _SCHEMA)
 
 
 def dedup_against_store(
@@ -144,10 +132,7 @@ def compact_digest_store(spark: SparkSession, path: str) -> None:
     set — run periodically if concurrent ingests may have duplicated
     digests or shard counts have grown past the file-listing comfort
     zone. Not required for correctness of ``dedup_against_store``."""
-    compacted = (
-        read_digest_store(spark, path)
-        .groupBy("digest")
-        .agg(F.min("keep_id").alias("keep_id"))
-        .localCheckpoint(eager=True)  # fully read before the overwrite
+    compact_shard_store(
+        spark, path, _SCHEMA,
+        lambda st: st.groupBy("digest").agg(F.min("keep_id").alias("keep_id")),
     )
-    compacted.write.mode("overwrite").parquet(path)

@@ -69,6 +69,7 @@ from ..operators.dedup import (
     minhash_signatures,
     word_shingle_ids,
 )
+from .store_common import compact_shard_store, read_shard_store
 
 _SIG_SCHEMA = "id long, sig array<long>"
 
@@ -97,26 +98,11 @@ def word_minhash_signatures(
 
 
 def read_signature_store(spark: SparkSession, path: str) -> DataFrame:
-    """The store as a DataFrame (id, sig). A missing/empty path reads as
-    an empty relation (first ingest needs no special casing); existence
-    is probed through the Hadoop FileSystem API, not ``os.path``, so
-    hdfs:// / s3a:// stores are seen (a driver-local isdir would read
-    every remote store as empty and re-admit all near-dups)."""
-    jvm = spark._jvm
-    jsc = spark._jsc
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return spark.createDataFrame([], _SIG_SCHEMA)
-    it = fs.listFiles(hpath, True)  # recursive
-    has_shard = False
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            has_shard = True
-            break
-    if not has_shard:
-        return spark.createDataFrame([], _SIG_SCHEMA)
-    return spark.read.schema(_SIG_SCHEMA).parquet(path)
+    """The store as a DataFrame (id, sig); missing/empty paths read as an
+    empty relation via the shared Hadoop-FS probe
+    (:func:`.store_common.read_shard_store` — see there for why
+    ``os.path`` would silently empty remote stores)."""
+    return read_shard_store(spark, path, _SIG_SCHEMA)
 
 
 def neardup_against_store(
@@ -158,13 +144,32 @@ def neardup_against_store(
         F.lit(0),
         lambda acc, v: acc + v,
     )
+    # fail CLOSED on signature-length drift (n_hashes changed between the
+    # recorded history and this batch): zip_with pads the shorter side
+    # with nulls, (x == y) on null is null, agree goes null, and
+    # 'null >= threshold' would silently evaluate every collision to
+    # no-drop — re-admitting all historical near-dups with zero errors.
+    # assert_true errors the job on the first colliding mismatched pair
+    # (and is NULL — isNull() True — on every healthy row, so the filter
+    # is a no-op when configs agree).
+    len_guard = F.assert_true(
+        F.size("__bsig") == F.size("__ssig"),
+        F.lit(
+            "signature length mismatch between batch and store: the "
+            "recorded history was built with a different n_hashes / "
+            "sig_fn than this ingest — rebuild or compact-migrate the "
+            "store, do not mix signature families"
+        ),
+    ).isNull()
     cross = (
         bb.join(sb, on=["band", "bucket"])
-        .filter(agree / F.size("__bsig") >= threshold)
+        .filter(len_guard & (agree / F.size("__bsig") >= threshold))
         .select(F.col("__bid").alias("__drop_id"))
     )
 
-    drops = intra.unionByName(cross).distinct()
+    # no distinct: left_anti is insensitive to duplicate keys on the
+    # right side, so deduping the drop set would only add an exchange
+    drops = intra.unionByName(cross)
     return docs.join(
         drops.withColumnRenamed("__drop_id", id_col), on=id_col, how="left_anti"
     )
@@ -201,6 +206,10 @@ def ingest_batch_near_dup(
     on replay (duplicate rows at worst) instead of silently losing it.
     """
     spark = docs.sparkSession
+    # pin the signatures once: the shingle folds + MinHash aggregation are
+    # the dominant CPU stage of the round, and the plan is otherwise
+    # evaluated twice (once under the neardup joins, again by the append)
+    signatures = signatures.localCheckpoint(eager=True)
     survivors = neardup_against_store(
         docs,
         read_signature_store(spark, path),
@@ -224,9 +233,6 @@ def compact_signature_store(spark: SparkSession, path: str) -> None:
     survivor is correct. Not required for correctness of
     ``neardup_against_store`` (a duplicate signature just re-votes the
     same drop)."""
-    compacted = (
-        read_signature_store(spark, path)
-        .dropDuplicates(["id"])
-        .localCheckpoint(eager=True)  # fully read before the overwrite
+    compact_shard_store(
+        spark, path, _SIG_SCHEMA, lambda st: st.dropDuplicates(["id"])
     )
-    compacted.write.mode("overwrite").parquet(path)

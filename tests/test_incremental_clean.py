@@ -130,3 +130,37 @@ def test_out_path_and_decontaminate_compose(spark, tmp_path):
     # decontamination happens AFTER store recording: doc 2 is history
     # (its near-dups stay suppressed) even though it never shipped
     assert read_digest_store(spark, dp).count() == 2
+
+
+def test_crash_between_signature_and_digest_append_converges(spark, tmp_path):
+    """The store-append order is signatures-then-digests: a crash in
+    between leaves signatures recorded but digests not. The replay must
+    re-derive the exact survivors (digests unrecorded), self-suppress
+    against the orphan signature shard, and complete the digest append —
+    never lose the batch's near-dup history (the reverse order would)."""
+    from htrc_feature_reader_spark.operators.dedup import (
+        minhash_signatures, word_shingle_ids)
+    from htrc_feature_reader_spark.operators.pipeline import _quality_lang
+    from htrc_feature_reader_spark.sources.signature_store import (
+        append_signatures)
+
+    dp, sp = str(tmp_path / "dig"), str(tmp_path / "sig")
+    base = " ".join(f"word{i}" for i in range(20))
+    other = " ".join(f"other{i}" for i in range(20))
+    batch = spark.createDataFrame([(1, base), (2, other)], _SCHEMA)
+
+    # simulate the crashed run's completed steps: signatures appended,
+    # digests NOT (out_path rows also landed, not modeled here)
+    ex = _quality_lang(batch, _CFG, "text")
+    append_signatures(
+        minhash_signatures(word_shingle_ids(ex, "text", "doc_id", n=3)), sp)
+
+    # replay: both docs self-collide against the orphan shard (nothing
+    # re-ships), digests complete
+    out = ingest_clean_batch(batch, dp, sp, _CFG)
+    assert out.count() == 0
+    assert read_digest_store(spark, dp).count() == 2
+
+    # history intact: a later near-dup of the crashed batch is suppressed
+    b2 = spark.createDataFrame([(10, base + " tail")], _SCHEMA)
+    assert ingest_clean_batch(b2, dp, sp, _CFG).count() == 0

@@ -198,3 +198,32 @@ def test_stream_ingest_near_dup_cross_restart(spark, tmp_path):
     finally:
         q2.stop()
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 5, 7}
+
+
+def test_verification_discriminates_vs_store(spark):
+    """At 4 bands x 2 rows and threshold 0.25, any band collision already
+    implies 2/8 agreement — verification is vacuous there. This pins the
+    DISCRIMINATING branch with hand-built signatures: one shared band
+    (2/8 positions agree), thresholds above vs at the agreement level."""
+    docs = spark.createDataFrame([(1, "ignored text")], _SCHEMA)
+    store = spark.createDataFrame(
+        [(100, [1, 2, 3, 4, 5, 6, 7, 8])], "id long, sig array<long>")
+    sigs = spark.createDataFrame(
+        [(1, [1, 2, 99, 98, 97, 96, 95, 94])], "id long, sig array<long>")
+    kept_strict = neardup_against_store(docs, store, sigs, threshold=0.5)
+    assert kept_strict.count() == 1  # 2/8 = 0.25 < 0.5: collision rejected
+    kept_loose = neardup_against_store(docs, store, sigs, threshold=0.25)
+    assert kept_loose.count() == 0  # 0.25 >= 0.25: dropped
+
+
+def test_signature_length_drift_fails_closed(spark):
+    """History built with a different n_hashes must ERROR on collision,
+    not silently no-drop (null agreement would otherwise re-admit every
+    historical near-dup)."""
+    docs = spark.createDataFrame([(1, "ignored text")], _SCHEMA)
+    store = spark.createDataFrame(
+        [(100, [1, 2, 3, 4, 5, 6, 7, 8])], "id long, sig array<long>")
+    short = spark.createDataFrame(
+        [(1, [1, 2, 9, 9])], "id long, sig array<long>")  # band 0 collides
+    with pytest.raises(Exception, match="signature length mismatch"):
+        neardup_against_store(docs, store, short, threshold=0.5).collect()
