@@ -166,3 +166,55 @@ def stream_ingest_near_dup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ingest_clean(
+    docs: DataFrame,
+    digest_path: str,
+    sig_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    config=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_df: DataFrame | None = None,
+    stop_shingles: DataFrame | None = None,
+    trigger_available_now: bool = False,
+):
+    """Streaming face of the FULL incremental cleaning funnel
+    (:func:`..operators.pipeline.ingest_clean_batch`): each micro-batch is
+    quality/language-filtered, exact-deduped against the digest store,
+    near-dup-suppressed against the signature store, optionally
+    decontaminated against ``eval_df``, written to ``out_path``, and
+    recorded into both stores — a continuously-running crawl-ingest
+    pipeline whose history lives in the stores' parquet shards (shared
+    with batch ingests, surviving checkpoint deletion).
+
+    ``config`` is a :class:`~..operators.pipeline.CleanConfig`; the same
+    incremental constraints apply ('pairs' survivorship only, fixed
+    ``stop_shingles`` instead of the corpus-frequency cap) and the same
+    crash ordering (data -> signatures -> digests; at-least-once).
+
+    Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
+    """
+    from ..operators.pipeline import ingest_clean_batch
+
+    def each_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_clean_batch(
+            batch_df,
+            digest_path,
+            sig_path,
+            config,
+            text_col=text_col,
+            id_col=id_col,
+            out_path=out_path,
+            eval_df=eval_df,
+            stop_shingles=stop_shingles,
+        )
+
+    writer = docs.writeStream.foreachBatch(each_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

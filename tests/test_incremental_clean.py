@@ -164,3 +164,33 @@ def test_crash_between_signature_and_digest_append_converges(spark, tmp_path):
     # history intact: a later near-dup of the crashed batch is suppressed
     b2 = spark.createDataFrame([(10, base + " tail")], _SCHEMA)
     assert ingest_clean_batch(b2, dp, sp, _CFG).count() == 0
+
+
+def test_stream_ingest_clean_full_funnel(spark, tmp_path):
+    """Streaming incremental clean: live query, quality + exact + near-dup
+    suppression across micro-batches with history in BOTH stores."""
+    from htrc_feature_reader_spark.streaming.dedup import stream_ingest_clean
+
+    dp, sp = str(tmp_path / "dig"), str(tmp_path / "sig")
+    out, src = str(tmp_path / "out"), str(tmp_path / "src")
+    base = " ".join(f"word{i}" for i in range(20))
+    d1 = spark.createDataFrame(
+        [(1, base), (2, "tiny"), (3, base)], _SCHEMA)  # quality-fail + dup
+    d1.coalesce(1).write.parquet(src)
+    q = stream_ingest_clean(
+        spark.readStream.schema(d1.schema).parquet(src),
+        dp, sp, out, str(tmp_path / "ck"), config=_CFG)
+    try:
+        q.processAllAvailable()
+        assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+        # next micro-batch: exact copy, near copy, novel doc
+        spark.createDataFrame(
+            [(10, base), (11, base + " tail"),
+             (12, " ".join(f"other{i}" for i in range(20)))],
+            _SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert {r["doc_id"] for r in
+                spark.read.parquet(out).collect()} == {1, 12}
+    finally:
+        q.stop()
+    assert read_digest_store(spark, dp).count() == 3  # 1, 11, 12
