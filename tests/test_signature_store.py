@@ -227,3 +227,27 @@ def test_signature_length_drift_fails_closed(spark):
         [(1, [1, 2, 9, 9])], "id long, sig array<long>")  # band 0 collides
     with pytest.raises(Exception, match="signature length mismatch"):
         neardup_against_store(docs, store, short, threshold=0.5).collect()
+
+
+def test_store_probe_plan_shape(spark, tmp_path):
+    """The scale claim frozen as a plan test: the vs-store probe carries
+    NO forced broadcast (the store is corpus-sized at 100 TB — a hint
+    would OOM executors), and at runtime AQE broadcasts the SMALL batch
+    side so the store scan joins without an exchange of its own rows."""
+    p = str(tmp_path / "store")
+    hist = _corpus(spark, n=24)
+    ingest_batch_near_dup(
+        hist, p, word_minhash_signatures(hist), threshold=_T)
+
+    batch = spark.createDataFrame(
+        [(100, "a few fresh words here")], _SCHEMA)
+    out = neardup_against_store(
+        batch, read_signature_store(spark, p),
+        word_minhash_signatures(batch), threshold=_T)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString()
+    # AQE finalized the plan and picked broadcast joins at this scale —
+    # the one-row batch, not the store, is the built/broadcast side
+    assert "BroadcastHashJoin" in final
