@@ -193,3 +193,45 @@ def load_ivf_index(
         .withColumnRenamed("bucket", "__bucket")
     )
     return assigned, centroids
+
+
+def append_to_ivf_index(
+    new_emb: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add new vectors to a saved index WITHOUT retraining: assign each to
+    its nearest centroid under the index's existing codebook (a map-side
+    broadcast argmin — the corpus on disk is never read) and append the
+    assignments into the matching ``bucket=`` directories. The
+    incremental-ingest face of the similarity layer: a 100 TB corpus is
+    k-means-trained once, and every later crawl drop lands with one
+    narrow job instead of an ``n_iters + 1``-scan rebuild.
+
+    Returns the newly-assigned rows (with ``__bucket``). Deliberate
+    semantics, documented not guarded:
+
+    - the CODEBOOK does not move — appended vectors are quantized by the
+      old centroids, so recall degrades gradually if the new data's
+      distribution drifts; rebuild (``ivf_index`` + ``save_ivf_index``)
+      on a schedule, exactly like compacting the dedup stores;
+    - ids are not checked against existing assignments (that would scan
+      the corpus per append): re-appending a batch duplicates its rows
+      and ``ivf_topk`` would return duplicate (query, id) pairs — keep
+      appends idempotent upstream (e.g. gate on the digest store).
+    """
+    spark = new_emb.sparkSession
+    centroids = sorted(
+        (int(r["bucket"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    )
+    assigned = new_emb.withColumn(
+        "__bucket", _nearest_centroid(F.col(vec_col), centroids)
+    )
+    (
+        assigned.withColumnRenamed("__bucket", "bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(f"{path}/assignments")
+    )
+    return assigned

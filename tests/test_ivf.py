@@ -92,3 +92,44 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     one = a2.filter(F.col("__bucket") == sorted(int(d.split("=")[1]) for d in dirs)[0])
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one.count() > 0
+
+
+def test_append_to_ivf_index(spark, emb, tmp_path):
+    """Appending under the saved codebook == assigning the union with the
+    same centroids: identical ivf_topk results, and a query whose nearest
+    neighbor is an appended vector finds it."""
+    from htrc_feature_reader_spark.operators.ivf import (
+        append_to_ivf_index, load_ivf_index, save_ivf_index)
+
+    old = emb.filter(F.col("vec_id") < 80)
+    new = emb.filter(F.col("vec_id") >= 80)
+    assert new.count() > 0
+    assigned, centroids = ivf_index(old, n_centroids=4, n_iters=3)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(assigned, centroids, path)
+    append_to_ivf_index(new, path)
+
+    a2, c2 = load_ivf_index(spark, path)
+    assert c2 == sorted(centroids)  # codebook untouched by the append
+    assert a2.count() == emb.count()
+
+    # equivalence: union assigned under the SAME codebook
+    union_assigned = emb.withColumn(
+        "__bucket",
+        ivf_index.__globals__["_nearest_centroid"](
+            F.col("embedding"), sorted(centroids)),
+    )
+    queries = _queries(emb, n=8)
+    want = {(r["query_id"], r["vec_id"]) for r in
+            ivf_topk(union_assigned, sorted(centroids), queries,
+                     k=3, nprobe=2).collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in
+           ivf_topk(a2, c2, queries, k=3, nprobe=2).collect()}
+    assert got == want and len(got) > 0
+
+    # a query AT an appended vector finds itself (cos=1.0 top hit)
+    qnew = (new.orderBy("vec_id").limit(1)
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_embedding")))
+    hits = ivf_topk(a2, c2, qnew, k=1, nprobe=2).collect()
+    assert hits and hits[0]["vec_id"] == hits[0]["query_id"]
