@@ -175,6 +175,16 @@ def save_ivf_index(
     )
 
 
+def _load_codebook(spark, path: str) -> list[tuple[int, list[float]]]:
+    """The saved codebook as the sorted [(bucket, centroid)] list both
+    :func:`load_ivf_index` and :func:`append_to_ivf_index` consume —
+    one definition so a future layout change cannot diverge the two."""
+    return sorted(
+        (int(r["bucket"]), [float(x) for x in r["centroid"]])
+        for r in spark.read.parquet(f"{path}/codebook").collect()
+    )
+
+
 def load_ivf_index(
     spark, path: str
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
@@ -184,10 +194,7 @@ def load_ivf_index(
     driver-sized by construction (k rows). Filters on ``__bucket``
     (the probe join under AQE/DPP, or an explicit ``isin``) prune to the
     matching ``bucket=`` directories."""
-    centroids = sorted(
-        (int(r["bucket"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(f"{path}/codebook").collect()
-    )
+    centroids = _load_codebook(spark, path)
     assigned = (
         spark.read.parquet(f"{path}/assignments")
         .withColumnRenamed("bucket", "__bucket")
@@ -208,8 +215,23 @@ def append_to_ivf_index(
     k-means-trained once, and every later crawl drop lands with one
     narrow job instead of an ``n_iters + 1``-scan rebuild.
 
-    Returns the newly-assigned rows (with ``__bucket``). Deliberate
-    semantics, documented not guarded:
+    Returns the newly-assigned rows (with ``__bucket``), PINNED
+    (localCheckpoint) so the returned decisions are exactly what was
+    persisted even under a non-deterministic upstream, and nothing
+    recomputes on consumption. Two drift classes FAIL CLOSED (the
+    fail-open versions silently corrupt the on-disk index):
+
+    - embedding-DIMENSION drift (new vectors embedded with a different
+      model): the argmin's zip_with would null-pad, every distance would
+      go NULL, and every drifted vector would silently land in the
+      lowest bucket — an ``assert_true`` on the vector length errors the
+      job instead;
+    - COLUMN drift (renamed id column, extra columns): parquet append
+      accepts mixed schemas and the reader then resolves NULLs for the
+      mismatched files — the column sets are compared against the stored
+      assignments up front and a ``ValueError`` raised.
+
+    Deliberate semantics, documented not guarded:
 
     - the CODEBOOK does not move — appended vectors are quantized by the
       old centroids, so recall degrades gradually if the new data's
@@ -221,13 +243,30 @@ def append_to_ivf_index(
       appends idempotent upstream (e.g. gate on the digest store).
     """
     spark = new_emb.sparkSession
-    centroids = sorted(
-        (int(r["bucket"]), [float(x) for x in r["centroid"]])
-        for r in spark.read.parquet(f"{path}/codebook").collect()
+    centroids = _load_codebook(spark, path)
+
+    stored = set(spark.read.parquet(f"{path}/assignments").schema.names)
+    incoming = set(new_emb.columns) | {"bucket"}
+    if incoming != stored:
+        raise ValueError(
+            f"append_to_ivf_index column drift: index stores {sorted(stored)} "
+            f"but the batch provides {sorted(incoming)} — parquet append "
+            "would mix schemas and read back NULLs for mismatched files"
+        )
+
+    dims = len(centroids[0][1])
+    dim_guard = F.assert_true(
+        F.size(F.col(vec_col)) == F.lit(dims),
+        F.lit(
+            f"embedding dimension mismatch: index codebook is {dims}-d but "
+            "a batch vector differs — a different embedding model cannot "
+            "share this index; rebuild instead"
+        ),
     )
     assigned = new_emb.withColumn(
-        "__bucket", _nearest_centroid(F.col(vec_col), centroids)
-    )
+        "__bucket",
+        F.when(dim_guard.isNull(), _nearest_centroid(F.col(vec_col), centroids)),
+    ).localCheckpoint(eager=True)  # pin: returned rows == persisted rows
     (
         assigned.withColumnRenamed("__bucket", "bucket")
         .write.mode("append")

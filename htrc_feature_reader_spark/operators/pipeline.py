@@ -181,6 +181,21 @@ def survivorship(docs: DataFrame, cleaned: DataFrame,
     )
 
 
+def check_incremental_config(cfg: CleanConfig) -> None:
+    """Reject CleanConfig options that cannot be honored incrementally —
+    shared by :func:`ingest_clean_batch` and the streaming face
+    (``streaming.dedup.stream_ingest_clean``), which validates EAGERLY at
+    query construction so a bad config raises at the call site instead of
+    failing asynchronously inside the first micro-batch."""
+    if cfg.near_dup and cfg.survivorship != "pairs":
+        raise ValueError(
+            "incremental ingest supports survivorship='pairs' only: "
+            "connected-component minima cannot be decided per batch "
+            f"(got {cfg.survivorship!r}) — run clean_corpus one-shot for "
+            "cluster survivorship"
+        )
+
+
 def ingest_clean_batch(
     docs: DataFrame,
     digest_path: str,
@@ -244,13 +259,7 @@ def ingest_clean_batch(
     )
 
     cfg = config or CleanConfig()
-    if cfg.near_dup and cfg.survivorship != "pairs":
-        raise ValueError(
-            "incremental ingest supports survivorship='pairs' only: "
-            "connected-component minima cannot be decided per batch "
-            f"(got {cfg.survivorship!r}) — run clean_corpus one-shot for "
-            "cluster survivorship"
-        )
+    check_incremental_config(cfg)
     spark = docs.sparkSession
 
     q = _quality_lang(docs, cfg, text_col)

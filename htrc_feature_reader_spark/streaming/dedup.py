@@ -58,6 +58,18 @@ def stream_exact_dedup(
     )
 
 
+def _start_foreach_batch(docs, each_batch, checkpoint_dir, trigger_available_now):
+    """The shared writer tail of every store-backed ingest stream in this
+    module (one definition — writer options cannot drift between the
+    exact, near-dup, and full-funnel faces)."""
+    writer = docs.writeStream.foreachBatch(each_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_ingest_against_store(
     docs: DataFrame,
     store_path: str,
@@ -99,12 +111,8 @@ def stream_ingest_against_store(
             batch_df, store_path, text_col, id_col, normalize, out_path=out_path
         )
 
-    writer = docs.writeStream.foreachBatch(each_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(docs, each_batch, checkpoint_dir,
+                                trigger_available_now)
 
 
 def stream_ingest_near_dup(
@@ -160,12 +168,8 @@ def stream_ingest_near_dup(
             out_path=out_path,
         )
 
-    writer = docs.writeStream.foreachBatch(each_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(docs, each_batch, checkpoint_dir,
+                                trigger_available_now)
 
 
 def stream_ingest_clean(
@@ -197,7 +201,16 @@ def stream_ingest_clean(
 
     Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
     """
-    from ..operators.pipeline import ingest_clean_batch
+    from ..operators.pipeline import (
+        CleanConfig,
+        check_incremental_config,
+        ingest_clean_batch,
+    )
+
+    # validate EAGERLY: a bad config must raise here at the call site,
+    # not asynchronously inside the first micro-batch on the stream
+    # thread (a fire-and-forget caller would never see it)
+    check_incremental_config(config or CleanConfig())
 
     def each_batch(batch_df: DataFrame, epoch_id: int) -> None:
         ingest_clean_batch(
@@ -212,9 +225,5 @@ def stream_ingest_clean(
             stop_shingles=stop_shingles,
         )
 
-    writer = docs.writeStream.foreachBatch(each_batch).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if trigger_available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(docs, each_batch, checkpoint_dir,
+                                trigger_available_now)

@@ -194,3 +194,18 @@ def test_stream_ingest_clean_full_funnel(spark, tmp_path):
     finally:
         q.stop()
     assert read_digest_store(spark, dp).count() == 3  # 1, 11, 12
+
+
+def test_stream_ingest_clean_rejects_bad_config_eagerly(spark, tmp_path):
+    """An invalid CleanConfig must raise AT THE CALL SITE, not
+    asynchronously inside the first micro-batch on the stream thread."""
+    from htrc_feature_reader_spark.streaming.dedup import stream_ingest_clean
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, "x " * 30)], _SCHEMA).write.parquet(src)
+    with pytest.raises(ValueError, match="pairs"):
+        stream_ingest_clean(
+            spark.readStream.schema("doc_id long, text string").parquet(src),
+            str(tmp_path / "d"), str(tmp_path / "s"), str(tmp_path / "o"),
+            str(tmp_path / "ck"),
+            config=CleanConfig(survivorship="clusters"))

@@ -127,9 +127,39 @@ def test_append_to_ivf_index(spark, emb, tmp_path):
            ivf_topk(a2, c2, queries, k=3, nprobe=2).collect()}
     assert got == want and len(got) > 0
 
-    # a query AT an appended vector finds itself (cos=1.0 top hit)
+    # a query AT an appended vector scores a perfect top hit and appears
+    # in the k=2 cut (k=2 + cos check rather than exact top-1 identity:
+    # an exact-duplicate embedding with a smaller vec_id would win the
+    # deterministic id tie-break without the append being wrong)
     qnew = (new.orderBy("vec_id").limit(1)
             .select(F.col("vec_id").alias("query_id"),
                     F.col("embedding").alias("q_embedding")))
-    hits = ivf_topk(a2, c2, qnew, k=1, nprobe=2).collect()
-    assert hits and hits[0]["vec_id"] == hits[0]["query_id"]
+    hits = ivf_topk(a2, c2, qnew, k=2, nprobe=2).collect()
+    assert hits and round(hits[0]["cos"], 6) == 1.0
+    assert any(h["vec_id"] == h["query_id"] for h in hits)
+
+
+def test_append_guards_fail_closed(spark, emb, tmp_path):
+    """Dimension drift (different embedding model) and column drift
+    (renamed/missing columns) must ERROR, not silently corrupt the
+    on-disk index (null distances would dump every drifted vector into
+    the lowest bucket; mixed parquet schemas read back as NULL ids)."""
+    import pytest as _pytest
+
+    from htrc_feature_reader_spark.operators.ivf import (
+        append_to_ivf_index, save_ivf_index)
+
+    assigned, centroids = ivf_index(emb.filter(F.col("vec_id") < 50),
+                                    n_centroids=4, n_iters=2)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(assigned, centroids, path)
+
+    wrong_dim = emb.filter(F.col("vec_id") >= 50).withColumn(
+        "embedding", F.slice("embedding", 1, 3))
+    with _pytest.raises(Exception, match="dimension mismatch"):
+        append_to_ivf_index(wrong_dim, path)
+
+    renamed = emb.filter(F.col("vec_id") >= 50).withColumnRenamed(
+        "vec_id", "id")
+    with _pytest.raises(ValueError, match="column drift"):
+        append_to_ivf_index(renamed, path)

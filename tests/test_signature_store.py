@@ -248,6 +248,29 @@ def test_store_probe_plan_shape(spark, tmp_path):
     assert "ResolvedHint" not in analyzed
     out.collect()
     final = out._jdf.queryExecution().executedPlan().toString()
-    # AQE finalized the plan and picked broadcast joins at this scale —
-    # the one-row batch, not the store, is the built/broadcast side
     assert "BroadcastHashJoin" in final
+
+    # the probe join in ISOLATION, batch left / store right, with the
+    # broadcast threshold squeezed between the two sides' sizes to
+    # emulate scale (store ≫ threshold > batch): AQE must then build
+    # (broadcast) the batch side — BuildLeft — never the store. (At toy
+    # scale with the default threshold AQE may rightly broadcast the
+    # 24-doc store; the at-scale claim is which side wins when the store
+    # CANNOT broadcast, which is exactly what the squeeze pins.)
+    from htrc_feature_reader_spark.operators.dedup import band_rows
+
+    batch2 = spark.createDataFrame([(101, "a few fresh words here")], _SCHEMA)
+    bb = band_rows(word_minhash_signatures(batch2)).select(
+        F.col("id").alias("bid"), "band", "bucket")
+    sb = band_rows(read_signature_store(spark, p)).select(
+        "band", "bucket", F.col("id").alias("sid"))
+    j = bb.join(sb, on=["band", "bucket"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        j.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    jplan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in jplan
+    assert "BuildLeft" in jplan and "BuildRight" not in jplan
