@@ -82,6 +82,14 @@ def pack_sequences(
     ``setCheckpointDir`` is session-global; the dir is set only when
     this option is used.
 
+    Retention: reliable checkpoints are NOT auto-deleted by default
+    (``spark.cleaner.referenceTracking.cleanCheckpoints`` is false), so
+    every production pack leaves a corpus-sized staged copy under
+    ``checkpoint_dir`` — delete the dir after the downstream write
+    action completes (see ``scripts/shards_job.py`` for the Hadoop-FS
+    cleanup step), or run with ``cleanCheckpoints=true`` and accept
+    that a driver crash then drops the recompute point too.
+
     Returns ``(seq_id, tokens, doc_spans, n_docs, n_tok)`` where
     ``doc_spans`` is ``array<struct<start, doc_id, len>>`` — the
     within-sequence extent of every document fragment, in order —

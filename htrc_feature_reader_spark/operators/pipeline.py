@@ -57,7 +57,11 @@ class CleanConfig:
     lsh_bands: int = 4
     lsh_rows: int = 2
     shingle_n: int = 3
-    stop_shingle_frac: float = 0.5
+    # corpus-frequency stop-shingle cap for the ONE-SHOT near-dup miner;
+    # None (or 1.0) skips the cap entirely. Incremental ingest IGNORES this
+    # field (corpus frequencies are batch-dependent) and warns unless it is
+    # neutralized — pass ingest_clean_batch(stop_shingles=...) there instead.
+    stop_shingle_frac: float | None = 0.5
     # minimum MinHash-estimated Jaccard (fraction of agreeing signature
     # positions) for a candidate pair to count as a duplicate; None skips
     # verification (raw LSH candidacy — data loss at scale, see module doc)
@@ -127,10 +131,11 @@ def clean_corpus(
 
     if cfg.near_dup:
         sh = word_shingle_ids(q, text_col, id_col, n=cfg.shingle_n)
-        sh = remove_stop_shingles(
-            sh, max_df_frac=cfg.stop_shingle_frac, shingle_col="shingle_id",
-            assume_distinct=True,
-        )
+        if cfg.stop_shingle_frac is not None:
+            sh = remove_stop_shingles(
+                sh, max_df_frac=cfg.stop_shingle_frac, shingle_col="shingle_id",
+                assume_distinct=True,
+            )
         sigs = minhash_signatures(sh, n_hashes=cfg.minhash_hashes)
         # never drop on bare candidacy: the signature-estimated Jaccard must
         # clear the threshold. Verification is FUSED into the band self-join
@@ -181,18 +186,47 @@ def survivorship(docs: DataFrame, cleaned: DataFrame,
     )
 
 
-def check_incremental_config(cfg: CleanConfig) -> None:
-    """Reject CleanConfig options that cannot be honored incrementally —
-    shared by :func:`ingest_clean_batch` and the streaming face
-    (``streaming.dedup.stream_ingest_clean``), which validates EAGERLY at
-    query construction so a bad config raises at the call site instead of
-    failing asynchronously inside the first micro-batch."""
+def check_incremental_config(
+    cfg: CleanConfig, stop_shingles_provided: bool = False
+) -> None:
+    """Reject (or warn about) CleanConfig options that cannot be honored
+    incrementally — shared by :func:`ingest_clean_batch` and the streaming
+    face (``streaming.dedup.stream_ingest_clean``), which validates EAGERLY
+    at query construction so a bad config raises at the call site instead
+    of failing asynchronously inside the first micro-batch.
+
+    ``stop_shingle_frac`` draws a warning, not an error: the field is
+    simply IGNORED by the incremental path (corpus document frequencies
+    are batch-dependent, so honoring it would make drop sets depend on
+    batch boundaries), but a caller reusing a default one-shot CleanConfig
+    would otherwise get different near-dup drop sets — and lose the
+    quadratic-bucket guard — with zero runtime signal. Neutralize the
+    field (``stop_shingle_frac=None`` or ``1.0``) or pass a fixed
+    ``stop_shingles`` table to silence it."""
     if cfg.near_dup and cfg.survivorship != "pairs":
         raise ValueError(
             "incremental ingest supports survivorship='pairs' only: "
             "connected-component minima cannot be decided per batch "
             f"(got {cfg.survivorship!r}) — run clean_corpus one-shot for "
             "cluster survivorship"
+        )
+    if (
+        cfg.near_dup
+        and not stop_shingles_provided
+        and cfg.stop_shingle_frac is not None
+        and cfg.stop_shingle_frac < 1.0
+    ):
+        import warnings
+
+        warnings.warn(
+            f"CleanConfig.stop_shingle_frac={cfg.stop_shingle_frac} is "
+            "IGNORED by incremental ingest (corpus document frequencies "
+            "are batch-dependent): near-dup drop sets will differ from "
+            "clean_corpus and degenerate LSH buckets are uncapped. Pass "
+            "stop_shingles=<fixed shingle_id table> for batch-independent "
+            "protection, or set stop_shingle_frac=None to acknowledge.",
+            UserWarning,
+            stacklevel=3,
         )
 
 
@@ -233,8 +267,10 @@ def ingest_clean_batch(
       edges arrive, so cluster survivorship cannot be decided per batch.
     - ``stop_shingle_frac`` is IGNORED: corpus document frequencies are
       batch-dependent, so a frequency cap would make the result depend on
-      batch boundaries. Pass ``stop_shingles`` (a fixed DataFrame with a
-      ``shingle_id`` column, e.g. mined once from a reference corpus via
+      batch boundaries. A non-neutralized value (anything but ``None`` /
+      ``1.0``) draws a ``UserWarning`` unless ``stop_shingles`` is given.
+      Pass ``stop_shingles`` (a fixed DataFrame with a ``shingle_id``
+      column, e.g. mined once from a reference corpus via
       ``remove_stop_shingles``'s complement) for the same protection with
       batch-independent semantics.
 
@@ -258,8 +294,15 @@ def ingest_clean_batch(
         read_signature_store,
     )
 
+    from ..sources.store_common import require_integral_id
+
     cfg = config or CleanConfig()
-    check_incremental_config(cfg)
+    check_incremental_config(
+        cfg, stop_shingles_provided=stop_shingles is not None
+    )
+    # validate the id dtype BEFORE any filtering/write: a string id would
+    # otherwise store as NULL in both stores after out_path data shipped
+    require_integral_id(docs, id_col, "ingest_clean_batch")
     spark = docs.sparkSession
 
     q = _quality_lang(docs, cfg, text_col)

@@ -392,15 +392,22 @@ def tf_idf(
     tf = count / doc_total, idf = ln((N + 1) / (df + 1)) + 1 (smoothed).
 
     Source-level tf stats at corpus scale: two aggregations (doc totals,
-    document frequencies) and one broadcast join — the doc-frequency table
-    is vocabulary-sized. Exact-int aggregates; floats only in the final
-    per-row expression.
+    document frequencies) and one token-keyed join. Exact-int aggregates;
+    floats only in the final per-row expression.
 
     Fully lazy: the corpus size N rides along as a broadcast single-row
     aggregate (cross-joined onto the vocabulary-sized doc-frequency table
     before the fan-out join), so constructing the plan runs no job and the
     whole computation is one action at execution time — no driver-side
     ``.count()`` pre-pass over 100 TB.
+
+    The doc-frequency join carries NO broadcast hint: a token vocabulary
+    is unbounded (Heaps' law plus junk tokens puts a web-scale corpus at
+    10^8–10^9 distinct tokens), so forcing a broadcast would OOM the
+    driver at the 100 TB tier. AQE picks broadcast vs sort-merge from the
+    actual post-aggregation size — small corpora still get the broadcast
+    plan (pinned by ``test_tf_idf_no_forced_vocab_broadcast``); only the
+    1-row corpus-constants funnel keeps an explicit hint.
     """
     per = token_counts.groupBy(doc_col, token_col).agg(F.sum(count_col).alias("tc"))
     doc_totals = per.groupBy(doc_col).agg(F.sum("tc").alias("doc_total"))
@@ -409,7 +416,7 @@ def tf_idf(
     dfreq = dfreq.join(F.broadcast(n_docs))  # 1-row cross join: df + N
     out = (
         per.join(doc_totals, on=doc_col)
-        .join(F.broadcast(dfreq), on=token_col)
+        .join(dfreq, on=token_col)  # no hint: vocabulary is unbounded, AQE decides
         .withColumn("tf", F.col("tc") / F.col("doc_total"))
         .withColumn(
             "idf",
@@ -505,6 +512,11 @@ def bm25(
     onto the vocabulary-sized doc-frequency table — no driver-side count
     pre-pass, one action at execution time.  idf uses the standard
     non-negative smoothing ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    As in :func:`tf_idf`, ONLY the 1-row corpus-constants funnel is
+    broadcast-hinted; the vocabulary-sized doc-frequency join is left to
+    AQE (an unbounded token vocabulary must never be force-broadcast at
+    the 100 TB tier).
     """
     per = token_counts.groupBy(doc_col, token_col).agg(
         F.sum(count_col).alias("tc")
@@ -528,7 +540,7 @@ def bm25(
     )
     out = (
         per.join(doc_totals, on=doc_col)
-        .join(F.broadcast(dfreq), on=token_col)
+        .join(dfreq, on=token_col)  # no hint: vocabulary is unbounded, AQE decides
         .withColumn("idf", idf)
         .withColumn(
             "bm25",

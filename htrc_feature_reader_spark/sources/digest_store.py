@@ -31,7 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import content_digest
-from .store_common import compact_shard_store, read_shard_store
+from .store_common import (
+    compact_shard_store,
+    read_shard_store,
+    require_integral_id,
+)
 
 _SCHEMA = "digest string, keep_id long"
 
@@ -85,7 +89,10 @@ def append_digests(
     survivors: DataFrame, path: str, id_col: str = "doc_id"
 ) -> None:
     """Record a batch's surviving digests as a new store shard (parquet
-    append — additive files, prior shards untouched)."""
+    append — additive files, prior shards untouched). Raises eagerly on a
+    non-integral id (:func:`.store_common.require_integral_id` — a string
+    id would silently store keep_id NULL)."""
+    require_integral_id(survivors, id_col, "append_digests")
     (
         survivors.select("digest", F.col(id_col).cast("long").alias("keep_id"))
         .write.mode("append")
@@ -118,6 +125,9 @@ def ingest_batch(
     must accept that loss window or persist before recording themselves.
     """
     spark = docs.sparkSession
+    # validate BEFORE any work or write: a string id would otherwise land
+    # as NULL keep_id in the store after out_path data already shipped
+    require_integral_id(docs, id_col, "ingest_batch")
     survivors = dedup_against_store(
         docs, read_digest_store(spark, path), text_col, id_col, normalize
     ).localCheckpoint(eager=True)  # pin decisions before the store mutates

@@ -81,10 +81,11 @@ def parse_jsonl_lines(
     """Shared parse/validate/split core for the batch and streaming
     readers (one definition — the contract cannot drift between them):
     ``text_df`` must have a string ``value`` column (plus anything a
-    caller wants to carry); returns ``(parsed, tagged, is_bad)`` where
-    ``parsed`` projects the struct/raw/src_file columns and ``tagged``
-    is ``parsed`` plus the bad-row predicate applied nowhere — callers
-    filter with ``is_bad`` themselves.
+    caller wants to carry); returns ``(raw, is_bad)`` where ``raw``
+    projects the parsed struct (``__r``), the original line (``__raw``),
+    and ``src_file``, and ``is_bad`` is the bad-row predicate applied
+    nowhere — callers filter/split with it themselves (the tagged
+    good+bad single-frame shape lives in ``stream_jsonl(split=False)``).
 
     Bad-row rule: the parse failed (corrupt field set), OR ``from_json``
     returned a NULL struct (input was valid JSON but not an object —

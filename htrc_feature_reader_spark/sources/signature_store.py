@@ -69,7 +69,11 @@ from ..operators.dedup import (
     minhash_signatures,
     word_shingle_ids,
 )
-from .store_common import compact_shard_store, read_shard_store
+from .store_common import (
+    compact_shard_store,
+    read_shard_store,
+    require_integral_id,
+)
 
 _SIG_SCHEMA = "id long, sig array<long>"
 
@@ -178,7 +182,10 @@ def neardup_against_store(
 def append_signatures(signatures: DataFrame, path: str) -> None:
     """Record a batch's signatures as a new store shard (parquet append —
     additive files, prior shards untouched). Record ALL processed docs'
-    signatures, kept and dropped (see module docstring)."""
+    signatures, kept and dropped (see module docstring). Raises eagerly
+    on a non-integral id (:func:`.store_common.require_integral_id` — a
+    string id would silently store as NULL)."""
+    require_integral_id(signatures, "id", "append_signatures")
     signatures.select(
         F.col("id").cast("long").alias("id"), "sig"
     ).write.mode("append").parquet(path)
@@ -206,6 +213,9 @@ def ingest_batch_near_dup(
     on replay (duplicate rows at worst) instead of silently losing it.
     """
     spark = docs.sparkSession
+    # validate BEFORE any work or write: a string id would otherwise land
+    # as NULL in the store after out_path data already shipped
+    require_integral_id(signatures, "id", "ingest_batch_near_dup")
     # pin the signatures once: the shingle folds + MinHash aggregation are
     # the dominant CPU stage of the round, and the plan is otherwise
     # evaluated twice (once under the neardup joins, again by the append)

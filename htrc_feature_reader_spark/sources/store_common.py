@@ -11,6 +11,33 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """Eagerly reject non-integral id columns before any store write.
+
+    The store schemas pin ids to ``long``; with ANSI off, a string id
+    (e.g. a native htid) silently casts to NULL on append — every stored
+    row would carry id NULL, and a later ``compact_*_store``'s
+    one-row-per-id rule would collapse the entire history to ONE row:
+    silent permanent loss of dedup history. With ANSI on, the cast errors
+    only mid-job, after data may already have landed at ``out_path``.
+    Same dtype contract as the packing layer's ``_key_hash`` integral
+    branch (byte/short/int/long); string-keyed corpora should derive a
+    stable integral id first (a 31-bit rolling hash is NOT enough at
+    10^9 docs — use e.g. ``xxhash64(id)`` and keep the string id as an
+    ordinary provenance column)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"{op}: id column {id_col!r} has type {dt.simpleString()}; "
+            "the shard stores require an integral id (byte/short/int/"
+            "long) — a string id would cast to NULL on append (ANSI off) "
+            "and collapse the store's history at the next compact. Derive "
+            "a stable integral id (e.g. F.xxhash64(id)) before ingesting."
+        )
+
+
 def read_shard_store(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """A shard store as a DataFrame of ``schema``. A missing/empty path
     reads as an empty relation (first ingest needs no special casing);

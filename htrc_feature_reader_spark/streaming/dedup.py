@@ -104,6 +104,11 @@ def stream_ingest_against_store(
     Returns the started :class:`~pyspark.sql.streaming.StreamingQuery`.
     """
     from ..sources.digest_store import ingest_batch
+    from ..sources.store_common import require_integral_id
+
+    # eager: a string id would fail (or silently NULL) inside the first
+    # micro-batch on the stream thread — raise at the call site instead
+    require_integral_id(docs, id_col, "stream_ingest_against_store")
 
     def each_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # out_path ordering: data before digests (see crash story above)
@@ -151,6 +156,11 @@ def stream_ingest_near_dup(
         ingest_batch_near_dup,
         word_minhash_signatures,
     )
+    from ..sources.store_common import require_integral_id
+
+    # eager (see stream_ingest_against_store): raise at the call site,
+    # not inside the first micro-batch
+    require_integral_id(docs, id_col, "stream_ingest_near_dup")
 
     if sig_fn is None:
         def sig_fn(batch_df):
@@ -207,10 +217,17 @@ def stream_ingest_clean(
         ingest_clean_batch,
     )
 
-    # validate EAGERLY: a bad config must raise here at the call site,
-    # not asynchronously inside the first micro-batch on the stream
-    # thread (a fire-and-forget caller would never see it)
-    check_incremental_config(config or CleanConfig())
+    # validate EAGERLY: a bad config must raise (and the ignored-field
+    # warning must surface) here at the call site, not asynchronously
+    # inside the first micro-batch on the stream thread (a
+    # fire-and-forget caller would never see it)
+    check_incremental_config(
+        config or CleanConfig(),
+        stop_shingles_provided=stop_shingles is not None,
+    )
+    from ..sources.store_common import require_integral_id
+
+    require_integral_id(docs, id_col, "stream_ingest_clean")
 
     def each_batch(batch_df: DataFrame, epoch_id: int) -> None:
         ingest_clean_batch(

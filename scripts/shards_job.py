@@ -24,7 +24,10 @@ Stages (one lazy plan up to the packing barrier):
    real BPE ``tokenizer_fn`` at the same seam.
 5. :func:`pack_sequences` with ``checkpoint_dir`` — the corpus barrier is
    a RELIABLE checkpoint (staged write), so an executor loss mid-pack
-   recomputes from the stage, not from nothing.
+   recomputes from the stage, not from nothing. The stage is a
+   corpus-sized copy and Spark never auto-deletes reliable checkpoints
+   (``spark.cleaner.referenceTracking.cleanCheckpoints`` defaults to
+   false) — this job deletes it itself once the shard write completes.
 6. :func:`shuffle_sequences` — deterministic global pseudo-random order;
    shard files ascend by shuffle_key, so a loader reading files in name
    order replays the permutation.
@@ -105,6 +108,13 @@ def main() -> None:
     manifest = resume_write(
         out, f"{out_dir}/shards", "bucket", snapshot_id=snapshot
     )
+    # the shards are durably written: drop the corpus-sized checkpoint
+    # stage (Spark never auto-deletes reliable checkpoints). Hadoop-FS
+    # API, not shutil — the stage lives wherever out_dir does
+    # (hdfs://, s3a://, ...). Crash before this line leaves the stage
+    # for the resumed run; crash-resume re-stages and re-cleans.
+    stage = spark._jvm.org.apache.hadoop.fs.Path(f"{out_dir}/_pack_stage")
+    stage.getFileSystem(spark._jsc.hadoopConfiguration()).delete(stage, True)
     print(
         f"sources={len(counts)} rates_min={min(rates.values()):.3f} "
         f"buckets_complete={len(manifest['partitions'])}/{N_BUCKETS}"

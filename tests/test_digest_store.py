@@ -68,3 +68,18 @@ def test_compact_store(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["keep_id"] == 0
     # still a functioning store after compaction
     assert ingest_batch(_docs(spark, [(9, "same"), (10, "new")]), p).count() == 1
+
+
+def test_string_id_rejected_eagerly(spark, tmp_path):
+    """A string doc_id must raise BEFORE any write: with ANSI off it
+    would silently store keep_id NULL and the next compact would collapse
+    the whole history to one row (silent permanent dedup-history loss)."""
+    import os
+
+    p = str(tmp_path / "store")
+    docs = spark.createDataFrame([("htid.1", "a")], "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral id"):
+        ingest_batch(docs, p)
+    with pytest.raises(TypeError, match="integral id"):
+        append_digests(docs.withColumn("digest", F.md5("text")), p)
+    assert not os.path.exists(p)  # nothing landed

@@ -209,3 +209,46 @@ def test_stream_ingest_clean_rejects_bad_config_eagerly(spark, tmp_path):
             str(tmp_path / "d"), str(tmp_path / "s"), str(tmp_path / "o"),
             str(tmp_path / "ck"),
             config=CleanConfig(survivorship="clusters"))
+
+
+def test_non_neutralized_stop_shingle_frac_warns(spark, tmp_path):
+    """ingest_clean_batch IGNORES CleanConfig.stop_shingle_frac (corpus
+    frequencies are batch-dependent) — a caller reusing a default one-shot
+    config must get a runtime signal, silenced by neutralizing the field
+    or passing a fixed stop_shingles table."""
+    import warnings
+
+    docs = _corpus(spark, n=8)
+    cfg = CleanConfig(near_dup_threshold=0.25)  # default frac=0.5
+    with pytest.warns(UserWarning, match="stop_shingle_frac"):
+        ingest_clean_batch(
+            docs, str(tmp_path / "d1"), str(tmp_path / "s1"), cfg)
+    # neutralized (None) -> silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ingest_clean_batch(
+            docs, str(tmp_path / "d2"), str(tmp_path / "s2"),
+            CleanConfig(stop_shingle_frac=None, near_dup_threshold=0.25))
+    # fixed stop list provided -> silent even with a non-neutral frac
+    stop = spark.createDataFrame([(0,)], "shingle_id long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        ingest_clean_batch(
+            docs, str(tmp_path / "d3"), str(tmp_path / "s3"), cfg,
+            stop_shingles=stop)
+
+
+def test_string_id_rejected_before_any_store_write(spark, tmp_path):
+    """The eager id-dtype guard fires at the funnel entry (before quality
+    filtering, stores, or out_path)."""
+    import os
+
+    docs = spark.createDataFrame(
+        [("htid.1", "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 " * 3)],
+        "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral id"):
+        ingest_clean_batch(
+            docs, str(tmp_path / "dg"), str(tmp_path / "sg"), _CFG,
+            out_path=str(tmp_path / "out"))
+    for sub in ("dg", "sg", "out"):
+        assert not os.path.exists(str(tmp_path / sub))

@@ -103,3 +103,25 @@ def test_clean_corpus_decontamination_stage(spark):
     assert survivors == sorted(set(range(20)) - {0})
     # the shared quality-prefix does NOT contaminate (n-gram must match)
     assert 1 in survivors
+
+
+def test_stop_shingle_frac_none_skips_cap(spark):
+    """stop_shingle_frac=None skips the corpus-frequency stop-shingle
+    stage entirely (no document-frequency aggregation in the plan) and is
+    semantically the same as the everything-passes frac=1.0 on this
+    corpus."""
+    import random
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(40)]
+    base = " ".join(rng.choice(vocab) for _ in range(30))
+    rows = [(i, base if i % 5 == 1 else
+             " ".join(rng.choice(vocab) for _ in range(25)))
+            for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept_none = clean_corpus(
+        docs, CleanConfig(stop_shingle_frac=None, near_dup_threshold=0.25))
+    kept_one = clean_corpus(
+        docs, CleanConfig(stop_shingle_frac=1.0, near_dup_threshold=0.25))
+    assert (sorted(r["doc_id"] for r in kept_none.collect())
+            == sorted(r["doc_id"] for r in kept_one.collect()))

@@ -222,6 +222,41 @@ def test_shuffle_sequences_single_range_exchange(spark):
     assert "SinglePartition" not in plan
 
 
+def test_tf_idf_no_forced_vocab_broadcast(spark):
+    """tf_idf's doc-frequency table is vocabulary-sized — unbounded at
+    web scale (Heaps' law) — so the token-keyed join must carry NO
+    broadcast hint; the ONLY hint in the plan is the 1-row corpus-size
+    funnel. At small scale AQE must still pick a broadcast join at
+    runtime from the actual post-aggregation size."""
+    from htrc_feature_reader_spark.operators.text import tf_idf
+
+    tc = spark.createDataFrame(
+        [(f"d{i}", f"t{i % 7}", 1) for i in range(40)],
+        "htid string, token string, count long")
+    out = tf_idf(tc)
+    assert _analyzed(out).count("ResolvedHint") == 1  # the 1-row N funnel only
+    out.collect()
+    final = _formatted(out)
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final  # AQE still broadcasts when small
+
+
+def test_bm25_no_forced_vocab_broadcast(spark):
+    """Same contract as tf_idf: only the 1-row corpus-constants funnel is
+    hinted; the vocabulary-sized dfreq join is AQE's choice."""
+    from htrc_feature_reader_spark.operators.text import bm25
+
+    tc = spark.createDataFrame(
+        [(f"d{i}", f"t{i % 7}", 1) for i in range(40)],
+        "htid string, token string, count long")
+    out = bm25(tc)
+    assert _analyzed(out).count("ResolvedHint") == 1
+    out.collect()
+    final = _formatted(out)
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final
+
+
 def test_bm25_no_corpus_cartesian(spark):
     """bm25's only cross join is the broadcast 1-row corpus-constants
     funnel: no CartesianProduct, no Python, and construction runs no job."""

@@ -274,3 +274,20 @@ def test_store_probe_plan_shape(spark, tmp_path):
     jplan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in jplan
     assert "BuildLeft" in jplan and "BuildRight" not in jplan
+
+
+def test_string_id_rejected_eagerly(spark, tmp_path):
+    """Same contract as the digest store: a string id raises at the call
+    site before any data or signature write (NULL-id shards would collapse
+    at compact time)."""
+    import os
+
+    p = str(tmp_path / "store")
+    docs = spark.createDataFrame(
+        [("htid.1", "w0 w1 w2 w3")], "doc_id string, text string")
+    sigs = word_minhash_signatures(docs)
+    with pytest.raises(TypeError, match="integral id"):
+        ingest_batch_near_dup(docs, p, sigs, id_col="doc_id")
+    with pytest.raises(TypeError, match="integral id"):
+        append_signatures(sigs, p)
+    assert not os.path.exists(p)
