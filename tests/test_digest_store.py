@@ -83,3 +83,47 @@ def test_string_id_rejected_eagerly(spark, tmp_path):
     with pytest.raises(TypeError, match="integral id"):
         append_digests(docs.withColumn("digest", F.md5("text")), p)
     assert not os.path.exists(p)  # nothing landed
+
+
+def test_compact_stores_job_lineage_and_resume(spark, tmp_path):
+    """scripts/compact_stores_job.py: manifest records shard/row counts
+    before/after; a store already compacted under the snapshot is
+    skipped; a torn run (manifest never published) re-compacts
+    idempotently."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "compact_stores_job",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "compact_stores_job.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    p = str(tmp_path / "store")
+    ingest_batch(_docs(spark, [(1, "a"), (2, "b")]), p)
+    ingest_batch(_docs(spark, [(3, "c")]), p)
+    assert job._count_shards(spark, p) >= 2
+
+    m1 = job.compact_one(spark, "digest", p, read_digest_store,
+                         compact_digest_store, "snapX")
+    assert m1["status"] == "complete" and m1["shards_before"] >= 2
+    assert m1["rows_before"] == m1["rows_after"] == 3
+    assert m1["shards_after"] < m1["shards_before"]
+    # manifest lives OUTSIDE the store dir (the compaction overwrite
+    # replaces the dir wholesale)
+    assert os.path.exists(p + ".compact.json")
+
+    # same snapshot: skipped (manifest returned unchanged)
+    m2 = job.compact_one(spark, "digest", p, read_digest_store,
+                         compact_digest_store, "snapX")
+    assert m2 == m1
+    # torn run: manifest missing -> recompact, still 3 rows
+    os.remove(p + ".compact.json")
+    m3 = job.compact_one(spark, "digest", p, read_digest_store,
+                         compact_digest_store, "snapX")
+    assert m3["rows_after"] == 3 and m3["status"] == "complete"
+    # the store still functions post-compaction
+    assert ingest_batch(_docs(spark, [(9, "a"), (10, "z")]), p).count() == 1

@@ -163,3 +163,123 @@ def test_append_guards_fail_closed(spark, emb, tmp_path):
         "vec_id", "id")
     with _pytest.raises(ValueError, match="column drift"):
         append_to_ivf_index(renamed, path)
+
+
+def test_append_dedup_ids_reappend_is_idempotent(spark, emb, tmp_path):
+    """dedup_ids=True makes a batch re-append a no-op: the incoming ids
+    anti-join against ONLY the batch's own target bucket= partitions
+    (directory-pruned — never a corpus scan), so ivf_topk returns no
+    duplicate (query, id) pairs afterwards."""
+    from htrc_feature_reader_spark.operators.ivf import (
+        append_to_ivf_index, load_ivf_index, save_ivf_index)
+
+    old = emb.filter(F.col("vec_id") < 80)
+    new = emb.filter(F.col("vec_id") >= 80)
+    assigned, centroids = ivf_index(old, n_centroids=4, n_iters=3)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(assigned, centroids, path)
+
+    first = append_to_ivf_index(new, path, dedup_ids=True)
+    assert first.count() == new.count()  # nothing suppressed on first add
+    again = append_to_ivf_index(new, path, dedup_ids=True)
+    assert again.count() == 0  # re-append fully suppressed
+
+    a2, c2 = load_ivf_index(spark, path)
+    assert a2.count() == emb.count()  # no duplicate rows on disk
+    qs = _queries(emb, n=8)
+    hits = ivf_topk(a2, c2, qs, k=3, nprobe=2).collect()
+    pairs = [(r["query_id"], r["vec_id"]) for r in hits]
+    assert len(pairs) == len(set(pairs))  # no duplicate (query, id) pairs
+
+    # default stays append-blind (the documented sharp edge)
+    append_to_ivf_index(new, path)
+    a3, _ = load_ivf_index(spark, path)
+    assert a3.count() == emb.count() + new.count()
+
+    # missing id column fails loudly instead of a mid-join analysis error
+    with pytest.raises(ValueError, match="dedup_ids"):
+        append_to_ivf_index(new.withColumnRenamed("vec_id", "id"), path,
+                            dedup_ids=True)
+
+
+def test_append_dedup_ids_scan_is_partition_pruned(spark, emb, tmp_path):
+    """The existing-ids probe must read only the target bucket= dirs: the
+    same filter the append builds shows a bucket IN-list in the scan's
+    PartitionFilters (directory pruning), not a full-index read."""
+    from htrc_feature_reader_spark.operators.ivf import (
+        append_to_ivf_index, save_ivf_index)
+
+    assigned, centroids = ivf_index(emb, n_centroids=4, n_iters=2)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(assigned, centroids, path)
+    probe = (
+        spark.read.parquet(f"{path}/assignments")
+        .filter(F.col("bucket").isin([0]))
+        .select("vec_id")
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the bucket predicate rides in PartitionFilters (directory pruning),
+    # and only the id column survives to the read schema
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf.group(1), plan
+    assert "ReadSchema: struct<vec_id:bigint>" in plan
+
+
+def test_append_recall_drift_vs_rebuild(spark):
+    """The codebook-doesn't-move contract, measured (the number behind
+    the 'rebuild on a schedule' advice in append_to_ivf_index's
+    docstring): appending a distribution-SHIFTED batch under the frozen
+    codebook costs real recall at nprobe=1 versus retraining on the
+    union, and raising nprobe recovers it (at skewed-bucket scan cost).
+    Deterministic inputs (seeded Gaussians, wide margins); thresholds
+    leave ~3x headroom over the observed 0.897-vs-1.000 gap."""
+    import numpy as np
+
+    from htrc_feature_reader_spark.operators.ivf import (
+        append_to_ivf_index, load_ivf_index, save_ivf_index)
+
+    rng = np.random.default_rng(7)
+    d = 16
+
+    def df_of(arr, start):
+        return spark.createDataFrame(
+            [(start + i, [float(x) for x in row]) for i, row in enumerate(arr)],
+            "vec_id long, embedding array<double>")
+
+    cents = rng.normal(0, 1, (8, d)) * 3
+    base = np.vstack([c + rng.normal(0, 1, (60, d)) for c in cents])
+    # drift: 6 NEW tight clusters at offsets the old codebook never saw
+    new_cents = rng.normal(0, 1, (6, d)) * 3 + rng.normal(0, 2.0, (6, d))
+    shifted = np.vstack([c + rng.normal(0, 0.5, (40, d)) for c in new_cents])
+
+    base_df, new_df = df_of(base, 0), df_of(shifted, 10000)
+    union_df = base_df.unionByName(new_df)
+    qs = df_of(shifted[:40] + rng.normal(0, 0.3, (40, d)), 50000).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in cosine_topk(qs, union_df, k=10).collect()}
+
+    path = str(spark.conf.get("spark.local.dir", "/tmp")) + "/ivf_drift"
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+    assigned, centroids = ivf_index(base_df, n_centroids=8, n_iters=4)
+    save_ivf_index(assigned, centroids, path)
+    append_to_ivf_index(new_df, path)
+    a_app, c_app = load_ivf_index(spark, path)
+    a_reb, c_reb = ivf_index(union_df, n_centroids=8, n_iters=4)
+
+    def recall(a, c, nprobe):
+        got = {(r["query_id"], r["vec_id"])
+               for r in ivf_topk(a, c, qs, k=10, nprobe=nprobe).collect()}
+        return len(got & exact) / len(exact)
+
+    app1, reb1 = recall(a_app, c_app, 1), recall(a_reb, c_reb, 1)
+    # measured: append 0.897 vs rebuild 1.000 at nprobe=1
+    assert reb1 >= 0.95, reb1
+    assert app1 >= 0.75, app1  # degraded but not collapsed
+    assert reb1 - app1 >= 0.03, (app1, reb1)  # the drift cost is real
+    # nprobe=2 recovers the appended index (measured 1.000)
+    assert recall(a_app, c_app, 2) >= 0.95
+    shutil.rmtree(path, ignore_errors=True)
