@@ -2321,6 +2321,108 @@ def _incremental_clean_sql() -> str:
     return _pipeline_sql(stop_cap=False, threshold=0.25)
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Unigram LM quality score (operators/text.py:unigram_logprob,
+    CCNet-style perplexity filter): per doc, mean bits of its whitespace
+    token instances under the corpus's own unigram MLE. The token-
+    frequency join is unhinted (unbounded vocabulary — same contract as
+    tf_idf); only the 1-row total funnel is broadcast."""
+    from htrc_feature_reader_spark.operators.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("bits_per_token", 9).alias("bpt9"),
+    )
+
+
+def _unigram_logprob_sql() -> str:
+    return r"""
+      WITH toks AS (
+        SELECT doc_id, t AS token FROM (
+          SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS t
+          FROM documents)
+        WHERE t <> ''),
+      cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+      tot AS (SELECT count(*) AS total FROM toks)
+      SELECT CAST(toks.doc_id AS BIGINT) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(-log2(CAST(c AS DOUBLE) / total)), 9) AS bpt9
+      FROM toks JOIN cnt USING (token) CROSS JOIN tot
+      GROUP BY toks.doc_id
+    """
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty (operators/dedup.py:ngram_novelty): the
+    fraction of each doc's distinct word 3-grams occurring in no other
+    document. The df aggregation and the join back share the shingle_id
+    exchange; the oracle replays the identical rolling-hash ids so any
+    collision changes both engines the same way."""
+    from htrc_feature_reader_spark.operators.dedup import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_novel").cast("long").alias("n_novel"),
+        F.round("novelty_frac", 9).alias("novelty9"),
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    sid = _SQL_ROLLHASH.format(col="shingle")
+    return f"""
+      WITH sh AS ({_SQL_SHINGLES}),
+      ds AS (SELECT DISTINCT doc_id, {sid} AS sid FROM sh),
+      dfq AS (SELECT sid, count(*) AS df FROM ds GROUP BY sid)
+      SELECT CAST(ds.doc_id AS BIGINT) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 9) AS novelty9
+      FROM ds JOIN dfq USING (sid)
+      GROUP BY ds.doc_id
+    """
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source n-gram contamination summary (operators/stats.py:
+    source_ngram_overlap): per source, the share of its distinct word
+    3-gram vocabulary present in >= 2 sources. The shingle set is keyed
+    by source directly — no doc-level intermediate, no reattach join."""
+    from htrc_feature_reader_spark.operators.stats import source_ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_ngram_overlap(docs).select(
+        "source",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round("shared_frac", 9).alias("shared9"),
+    )
+
+
+def _source_overlap_sql() -> str:
+    sid = _SQL_ROLLHASH.format(col="shingle")
+    return f"""
+      WITH sh AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(range(0, greatest(len(l) - 2, 0)),
+                                     i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS shingle
+        FROM (SELECT source, string_split(text, ' ') AS l FROM documents)),
+      ds AS (SELECT DISTINCT source, {sid} AS sid FROM sh),
+      spans AS (SELECT sid, count(*) AS ns FROM ds GROUP BY sid)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             round(CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 9) AS shared9
+      FROM ds JOIN spans USING (sid)
+      GROUP BY source
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2332,21 +2434,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the formal CORRECTNESS artifact (which records the
-    first 50 entries) accumulates at least one green row per query across
-    rounds: queries with NO formal row yet (r1-r3) and this round's new
-    operators come first, then queries with exactly one prior formal row,
-    then a fill of twice-verified queries; the 16 rotated past position
-    50 all hold formal green rows from BOTH r2 and r3 (and stay covered
-    every round by scripts/check_oracle.py over the full surface)."""
+    first 50 entries) accumulates green rows per query across rounds
+    (documented rotation policy, VERDICT r3/r4). Round-5 ordering:
+    this round's NEW operators (no formal row yet) first, then the 25
+    queries whose only formal row is r4, then 22 of the 23 queries that
+    sat out the r4 artifact (formal green in BOTH r2 and r3). Below the
+    cap: everything already holds >= 2 formal rows (the r4 positions
+    27-50 hold 2-3), and the FULL 84-query surface is live-checked every
+    round by scripts/check_oracle.py."""
     return {
-        # --- no formal row yet (r1-r3 artifacts) ---
+        # --- new this round (round 5) ---
+        "unigram_logprob": q_unigram_logprob,
+        "ngram_novelty": q_ngram_novelty,
+        "source_overlap": q_source_overlap,
+        # --- exactly one formal row (r4) ---
         "chunked_tokenlist_ends": q_chunked_tokenlist_ends,
         "chunked_tokenlist_even": q_chunked_tokenlist_even,
         "metadata_roundtrip": q_metadata_roundtrip,
         "section_features_roundtrip": q_section_features_roundtrip,
         "line_chars_roundtrip": q_line_chars_roundtrip,
         "page_features_roundtrip": q_page_features_roundtrip,
-        # --- new this round ---
         "tokenize_hash": q_tokenize_hash,
         "unpack_roundtrip": q_unpack_roundtrip,
         "repetition": q_repetition,
@@ -2366,43 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "jsonl_quarantine": q_jsonl_quarantine,
         "seq_minhash": q_seq_minhash,
-        # --- one formal row so far ---
-        "chunked_tokenlist": q_chunked_tokenlist,
-        "section_group": q_section_group,
-        "multimodal_meta": q_multimodal_meta,
-        "quad_roundtrip": q_quad_roundtrip,
-        "quad_prefold_roundtrip": q_quad_prefold_roundtrip,
-        "ef_json_roundtrip": q_ef_json_roundtrip,
-        "asof_auto_salt": q_asof_auto_salt,
-        "dedup_clusters": q_dedup_clusters,
-        "lang_detect": q_lang_detect,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
-        "sample_mixture": q_sample_mixture,
-        # --- twice-formal fill (r2+r3 green) ---
-        "tokenlist_fold": q_tokenlist_fold,
-        "page_freq": q_page_freq,
-        "training_pipeline": q_training_pipeline,
-        "term_page_pivot": q_term_page_pivot,
-        "sessionize": q_sessionize,
-        "ffill_views": q_ffill_views,
-        "bfill_views": q_bfill_views,
-        "term_volume_freqs": q_term_volume_freqs,
-        "page_select": q_page_select,
-        "daily_rollup": q_daily_rollup,
-        "session_stats": q_session_stats,
-        "seq_pit_features": q_seq_pit_features,
-        "seq_asof_features": q_seq_asof_features,
-        "dedup_exact": q_dedup_exact,
-        "jaccard_pairs": q_jaccard_pairs,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ivf_topk": q_ivf_topk,
-        "quality": q_quality,
-        # --- rotated past the 50-row artifact cap (formal green in BOTH
-        # r2 and r3; still oracle-checked every round via check_oracle) ---
+        # --- two formal rows (r2+r3), out of the artifact since r4 ---
         "tf_idf": q_tf_idf,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_distribution": q_lang_distribution,
@@ -2425,7 +2496,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_salted": q_asof_salted,
         "asof_forward": q_asof_forward,
         "lag_delta": q_lag_delta,
+        # --------------- 50-row artifact cap ---------------
         "stopword_filter": q_stopword_filter,
+        # --- two formal rows (r3+r4) ---
+        "chunked_tokenlist": q_chunked_tokenlist,
+        "section_group": q_section_group,
+        "multimodal_meta": q_multimodal_meta,
+        "quad_roundtrip": q_quad_roundtrip,
+        "quad_prefold_roundtrip": q_quad_prefold_roundtrip,
+        "ef_json_roundtrip": q_ef_json_roundtrip,
+        "asof_auto_salt": q_asof_auto_salt,
+        "dedup_clusters": q_dedup_clusters,
+        "lang_detect": q_lang_detect,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "sample_mixture": q_sample_mixture,
+        # --- three formal rows (r2+r3+r4) ---
+        "tokenlist_fold": q_tokenlist_fold,
+        "page_freq": q_page_freq,
+        "training_pipeline": q_training_pipeline,
+        "term_page_pivot": q_term_page_pivot,
+        "sessionize": q_sessionize,
+        "ffill_views": q_ffill_views,
+        "bfill_views": q_bfill_views,
+        "term_volume_freqs": q_term_volume_freqs,
+        "page_select": q_page_select,
+        "daily_rollup": q_daily_rollup,
+        "session_stats": q_session_stats,
+        "seq_pit_features": q_seq_pit_features,
+        "seq_asof_features": q_seq_asof_features,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_topk": q_ivf_topk,
+        "quality": q_quality,
     }
 
 
@@ -3143,6 +3250,9 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _incremental_dedup_sql(),
         "incremental_near_dup": _incremental_neardup_sql(),
         "incremental_clean": _incremental_clean_sql(),
+        "unigram_logprob": _unigram_logprob_sql(),
+        "ngram_novelty": _ngram_novelty_sql(),
+        "source_overlap": _source_overlap_sql(),
         "split_by_hash": _split_by_hash_sql(),
         "shuffle_order": _shuffle_order_sql(),
         "length_bucket": _length_bucket_sql(),

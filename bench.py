@@ -109,6 +109,56 @@ def _run_to_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _bench_incremental(spark, sf_dir: str) -> tuple[float, dict]:
+    """Time the production ingest face (VERDICT r4 #2): three ascending
+    doc_id batches of ``documents`` through ``ingest_clean_batch`` against
+    fresh digest + signature stores. Unlike the HEADLINE entries (lazy
+    plans timed at the noop sink), each ingest call is an eager multi-write
+    job — probe both stores, write survivors, append store shards — so the
+    timed window covers the whole three-batch loop. Final store sizes are
+    reported alongside (BASELINE.md carries them with the timing)."""
+    from htrc_feature_reader_spark.operators.pipeline import (  # noqa: PLC0415
+        CleanConfig, ingest_clean_batch)
+    from htrc_feature_reader_spark.sources.digest_store import (  # noqa: PLC0415
+        read_digest_store)
+    from htrc_feature_reader_spark.sources.signature_store import (  # noqa: PLC0415
+        read_signature_store)
+
+    tmp = tempfile.mkdtemp(prefix="bench_inc_")
+    dp, sp, outd = (os.path.join(tmp, k) for k in ("dig", "sig", "out"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # same config as the oracle-checked incremental_clean query: stop cap
+    # neutralized (forbidden incrementally), 0.25 verification threshold
+    cfg = CleanConfig(stop_shingle_frac=1.0, near_dup_threshold=0.25)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    step = (int(hi) - int(lo)) // 3 + 1
+    t0 = time.time()
+    for k in range(3):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo + k * step)
+            & (F.col("doc_id") < lo + (k + 1) * step)
+        )
+        ingest_clean_batch(batch, dp, sp, cfg, out_path=outd)
+    dt = time.time() - t0
+
+    def _du(path: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path) for f in fs
+        )
+
+    info = {
+        "batches": 3,
+        "digest_rows": read_digest_store(spark, dp).count(),
+        "sig_rows": read_signature_store(spark, sp).count(),
+        "digest_bytes": _du(dp),
+        "sig_bytes": _du(sp),
+        "out_rows": spark.read.parquet(outd).count(),
+    }
+    shutil.rmtree(tmp, ignore_errors=True)
+    return dt, info
+
+
 def _pit_asof_job(spark, seq_path: str):
     """The north-rule steady-state job, one action: read sequences, build
     the PIT feature table, as-of join it onto probe timestamps, sink."""
@@ -222,6 +272,11 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # ---- incremental ingest face (eager writes; timed end to end) ----
+    inc_s, inc_info = _bench_incremental(spark, sf_dir)
+    timings["ingest_clean_batch"] = round(inc_s, 3)
+    total += inc_s
+
     # ---- two-parallelism scaling evidence (identical input) ----
     # Fixed input size (round-1 lesson: host-speed calibration clamped to a
     # 400k-row floor and produced 11-17 s jobs where per-job fixed cost
@@ -235,11 +290,12 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         # smoke mode (verify skill / quick iteration): headline only
         print(json.dumps({
-            "metric": f"headline suite wall time ({len(HEADLINE)} queries, noop sink)",
+            "metric": f"headline suite wall time ({len(timings)} queries, noop sink)",
             "value": round(total, 3),
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "incremental": inc_info,
         }))
         return
 
@@ -312,11 +368,12 @@ def main() -> None:
         shutil.rmtree(os.path.join(SCALE_TMP, "spark-scale-local"), ignore_errors=True)
 
     print(json.dumps({
-        "metric": f"headline suite wall time ({len(HEADLINE)} queries, noop sink)",
+        "metric": f"headline suite wall time ({len(timings)} queries, noop sink)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "incremental": inc_info,
         "throughput": {
             "sequences_per_s": scaling["high"]["sequences_per_s"],
             "token_rows_per_s": scaling["high"]["token_rows_per_s"],

@@ -14,6 +14,7 @@ from .features import build_pit_features  # noqa: F401
 from .dedup import (  # noqa: F401
     boilerplate_fraction,
     decontaminate,
+    ngram_novelty,
     exact_duplicates,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -26,7 +27,7 @@ from .dedup import (  # noqa: F401
     word_shingles,
 )
 from .components import connected_components  # noqa: F401
-from .stats import corpus_stats, top_terms  # noqa: F401
+from .stats import corpus_stats, source_ngram_overlap, top_terms  # noqa: F401
 from .similarity import cosine_topk, lsh_cosine_topk, near_dup_pairs  # noqa: F401
 from .pipeline import (  # noqa: F401
     CleanConfig,
@@ -44,4 +45,4 @@ from .packing import (  # noqa: F401
     take_per_source,
     unpack_sequences,
 )
-from .text import tf_idf  # noqa: F401
+from .text import tf_idf, unigram_logprob  # noqa: F401

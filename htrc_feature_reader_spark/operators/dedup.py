@@ -660,6 +660,50 @@ def boilerplate_fraction(
     )
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: of the document's DISTINCT word
+    ``n``-gram shingles, the fraction that occur in NO other document —
+    the complement of :func:`boilerplate_fraction` at ``min_df=2``.
+    Novelty near 1.0 means the document contributes genuinely new text;
+    near 0.0 means everything in it already exists elsewhere (a fuzzy-
+    duplicate / template signal that survives word-level edits which
+    defeat exact dedup).
+
+    Returns ``(id_col, n_shingles, n_novel, novelty_frac)``; documents
+    shorter than ``n`` words have no shingles and are absent (the same
+    contract as the LSH miner they share shingles with).
+
+    Scale: the document-frequency aggregation and the join back both key
+    on ``shingle_id``, so the exchange introduced by the groupBy is
+    reused for the join (one shuffle of the pair set, not two); the
+    per-document fold partial-aggregates map-side. No forced broadcasts —
+    the shingle space is unbounded.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    pairs = word_shingle_ids(docs, text_col, id_col, n=n)
+    dfreq = pairs.groupBy("shingle_id").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        pairs.join(dfreq, on="shingle_id")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__df") == 1).cast("long")).alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_shingles",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_shingles")).alias("novelty_frac"),
+        )
+    )
+
+
 def token_shingle_ids(
     df: DataFrame,
     tokens_col: str = "tokens",

@@ -131,3 +131,49 @@ def top_terms(
     return topk.withColumn(
         "rank", F.row_number().over(Window.partitionBy().orderBy(*order))
     )
+
+
+def source_ngram_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram contamination summary: per source, how much of
+    its distinct word ``n``-gram vocabulary also appears in at least one
+    OTHER source. High overlap between two web snapshots usually means
+    re-crawled content (deduplicate before mixing); high overlap between
+    a benchmark-derived source and everything else is a leakage signal
+    the mixture designer must see before training.
+
+    Returns ``(source, n_shingles, n_shared, shared_frac)`` where
+    ``n_shingles`` counts the source's distinct shingles and ``n_shared``
+    those present in >= 2 sources.
+
+    Scale: the shingle set is built per SOURCE directly (the shingle
+    hasher keyed by ``source_col`` instead of the doc id — no doc-level
+    intermediate, no join to reattach source), so the pair set is at most
+    #sources x vocabulary. The span count groups on ``shingle_id`` and
+    the join back reuses that exchange; the final per-source rollup is a
+    tiny map-side-combined aggregate. No forced broadcasts.
+    """
+    from .dedup import word_shingle_ids
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    pairs = word_shingle_ids(docs, text_col, id_col=source_col, n=n)
+    spans = pairs.groupBy("shingle_id").agg(F.count(F.lit(1)).alias("__ns"))
+    return (
+        pairs.join(spans, on="shingle_id")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("__ns") > 1).cast("long")).alias("n_shared"),
+        )
+        .select(
+            F.col("id").alias(source_col),
+            "n_shingles",
+            "n_shared",
+            (F.col("n_shared") / F.col("n_shingles")).alias("shared_frac"),
+        )
+    )

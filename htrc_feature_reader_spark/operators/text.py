@@ -427,6 +427,52 @@ def tf_idf(
     return out.select(doc_col, token_col, "tc", "tf", "df", "idf", "tf_idf")
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: DataFrame | None = None,
+    oov_bits: float = 30.0,
+) -> DataFrame:
+    """Unigram language-model quality score (CCNet-style perplexity
+    filter): per document, the mean information content in bits of its
+    whitespace-token instances under a unigram MLE distribution —
+    ``bits_per_token = avg(-log2(count(tok) / total_tokens))``.
+
+    High scores flag gibberish / junk-token documents (their tokens are
+    rare corpus-wide); unusually low scores flag boilerplate drawn from
+    the most common token mass. By default the model is trained on
+    ``docs`` itself in the same lazy plan (two aggregations, no driver
+    action); pass ``model`` — a frozen ``(token, tok_count, __total)``
+    table from a trusted corpus — to score a new crawl drop against it,
+    with out-of-vocabulary tokens charged ``oov_bits`` bits.
+
+    Scale: the token-frequency join carries NO broadcast hint — a token
+    vocabulary is unbounded at web scale (Heaps' law), the same contract
+    as :func:`tf_idf`; AQE picks broadcast vs sort-merge from the actual
+    post-aggregation size. Only the 1-row total-count funnel is hinted.
+    The count aggregation partial-aggregates map-side, and the final
+    per-document fold groups on the corpus-partitioned id.
+    """
+    toks = docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    if model is None:
+        model = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tok_count"))
+        total = toks.agg(F.count(F.lit(1)).alias("__total"))
+        model = model.join(F.broadcast(total))  # 1-row cross join
+    scored = toks.join(model, on="token", how="left")  # unbounded vocab: AQE decides
+    bits = F.when(
+        F.col("tok_count").isNotNull(),
+        -F.log2(F.col("tok_count").cast("double") / F.col("__total")),
+    ).otherwise(F.lit(float(oov_bits)))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(bits).alias("bits_per_token"),
+    )
+
+
 def normalized_fingerprint(text) -> Column:
     """Whitespace/case-normalized MD5 — near-dup fingerprint robust to
     formatting noise."""
