@@ -2423,6 +2423,51 @@ def _source_overlap_sql() -> str:
     """
 
 
+def q_range_join(spark, sf_dir):
+    """Binned interval join (operators/ranges.py:range_join): every
+    purchase within 6 hours (inclusive) after a signup by the same user.
+    bin_width_s='auto' exercises the lazy 1-row mean-length funnel; the
+    probe-interval join itself is a plain (user_id, bin) equi-join — no
+    nested loop (plan-tested in tests/test_ranges.py)."""
+    from htrc_feature_reader_spark.operators.ranges import range_join
+    from htrc_feature_reader_spark.functions import ts_micros
+
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start"),
+        F.timestamp_micros(ts_micros("ts") + 6 * 3600 * 1_000_000).alias("end"),
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    joined = range_join(probe, intervals, keys=["user_id"], bin_width_s="auto")
+    return joined.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("signup_id").cast("long").alias("signup_id"),
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.round("value", 2).alias("value2"),
+        (ts_micros("ts") - ts_micros("start")).cast("long").alias("lag_us"),
+    )
+
+
+def _range_join_sql() -> str:
+    return """
+      SELECT CAST(p.user_id AS BIGINT) AS user_id,
+             CAST(s.event_id AS BIGINT) AS signup_id,
+             CAST(p.event_id AS BIGINT) AS purchase_id,
+             round(p.value, 2) AS value2,
+             CAST(epoch_us(p.ts) - epoch_us(s.ts) AS BIGINT) AS lag_us
+      FROM events p
+      JOIN events s
+        ON p.user_id = s.user_id
+       AND epoch_us(p.ts) >= epoch_us(s.ts)
+       AND epoch_us(p.ts) <= epoch_us(s.ts) + 21600000000
+      WHERE p.event_type = 'purchase' AND s.event_type = 'signup'
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2447,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "ngram_novelty": q_ngram_novelty,
         "source_overlap": q_source_overlap,
+        "range_join": q_range_join,
         # --- exactly one formal row (r4) ---
         "chunked_tokenlist_ends": q_chunked_tokenlist_ends,
         "chunked_tokenlist_even": q_chunked_tokenlist_even,
@@ -3253,6 +3299,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _unigram_logprob_sql(),
         "ngram_novelty": _ngram_novelty_sql(),
         "source_overlap": _source_overlap_sql(),
+        "range_join": _range_join_sql(),
         "split_by_hash": _split_by_hash_sql(),
         "shuffle_order": _shuffle_order_sql(),
         "length_bucket": _length_bucket_sql(),
