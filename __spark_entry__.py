@@ -2468,6 +2468,63 @@ def _range_join_sql() -> str:
     """
 
 
+def q_dup_spans(spark, sf_dir):
+    """Span-granular duplicate coverage (operators/dedup.py:
+    duplicated_spans, the Lee-et-al substring-dedup signal): per doc, the
+    fraction of word positions covered by a 4-gram window occurring >= 2
+    times corpus-wide (within-doc repeats included). The oracle replays
+    the identical rolling-hash window ids and the same gaps-and-islands
+    interval merge, so coverage agrees token-for-token."""
+    from htrc_feature_reader_spark.operators.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, n=4, min_count=2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "dup_tokens",
+        F.round("dup_frac", 9).alias("dup_frac9"),
+    )
+
+
+def _dup_spans_sql() -> str:
+    sid = _SQL_ROLLHASH.format(col="shingle")
+    return f"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      pos AS (
+        SELECT doc_id, len(l) AS n_tokens,
+               unnest(range(0, greatest(len(l) - 3, 0))) AS p, l
+        FROM d),
+      ids AS (
+        SELECT doc_id, p, {sid} AS sidv FROM (
+          SELECT doc_id, p,
+                 l[p+1] || ' ' || l[p+2] || ' ' || l[p+3] || ' ' || l[p+4] AS shingle
+          FROM pos)),
+      cnt AS (SELECT sidv, count(*) AS c FROM ids GROUP BY sidv),
+      hit AS (SELECT doc_id, p, p + 3 AS e
+              FROM ids JOIN cnt USING (sidv) WHERE c >= 2),
+      isl AS (
+        SELECT doc_id, p, e,
+               sum(CASE WHEN pm IS NULL OR p > pm THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING) AS island
+        FROM (SELECT doc_id, p, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+              FROM hit)),
+      cov AS (SELECT doc_id, island, max(e) - min(p) + 1 AS cov
+              FROM isl GROUP BY doc_id, island),
+      per AS (SELECT doc_id, sum(cov) AS dup_tokens FROM cov GROUP BY doc_id)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(len(d.l) AS BIGINT) AS n_tokens,
+             CAST(coalesce(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             round(CASE WHEN len(d.l) > 0
+                        THEN CAST(coalesce(per.dup_tokens, 0) AS DOUBLE) / len(d.l)
+                        ELSE 0.0 END, 9) AS dup_frac9
+      FROM d LEFT JOIN per USING (doc_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2493,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "source_overlap": q_source_overlap,
         "range_join": q_range_join,
+        "dup_spans": q_dup_spans,
         # --- exactly one formal row (r4) ---
         "chunked_tokenlist_ends": q_chunked_tokenlist_ends,
         "chunked_tokenlist_even": q_chunked_tokenlist_even,
@@ -3300,6 +3358,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _ngram_novelty_sql(),
         "source_overlap": _source_overlap_sql(),
         "range_join": _range_join_sql(),
+        "dup_spans": _dup_spans_sql(),
         "split_by_hash": _split_by_hash_sql(),
         "shuffle_order": _shuffle_order_sql(),
         "length_bucket": _length_bucket_sql(),

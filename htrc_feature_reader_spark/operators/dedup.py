@@ -100,6 +100,38 @@ def word_shingle_ids(
     the identity (h=0, pow=1), exactly as the character-level hash of the
     concatenated string sees only the two spaces.
     """
+    staged, ids = _staged_shingle_exprs(df, text_col, id_col, n, base, mod)
+    return (
+        staged.select("id", F.explode(ids).alias("shingle_id"))
+        .distinct()
+    )
+
+
+def _staged_shingle_exprs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    base: int = 257,
+    mod: int = (1 << 31) - 1,
+):
+    """Returns ``(staged, ids)``: ``staged`` is the one-row-per-doc frame
+    ``(id, __wh)`` with the word-hash array materialized as its own
+    projection, and ``ids`` is the POSITIONAL shingle-id array EXPRESSION
+    over it (element i hashes words ``i..i+n-1``; duplicates preserved).
+    Shared staging for :func:`word_shingle_ids` (distinct set semantics)
+    and :func:`duplicated_spans` (position-aware coverage semantics).
+
+    Deliberately an (frame, expression) pair, NOT a frame with the array
+    as a column: consumers must compose ``ids`` directly into their OWN
+    single projection over ``staged`` (``explode(ids)``,
+    ``posexplode(ids)``). Staging the array through an intermediate
+    ``.select(..., ids.alias(...))`` adds a Project between the word-hash
+    projection and the Generate, and that shape measured ~10-30x slower
+    at sf0.01 (the array materializes outside the generator's
+    whole-stage-codegen span) — the same projection-shape trap as the
+    ``__wh`` CollapseProject note below.
+    """
     from ..functions import ensure_min_parallelism
 
     df = ensure_min_parallelism(df)  # CPU-bound folds: spread tiny inputs
@@ -136,10 +168,7 @@ def word_shingle_ids(
         F.size(wha) >= n, F.sequence(F.lit(0), F.size(wha) - n)
     ).otherwise(F.array().cast("array<int>"))
     ids = F.transform(idx, shingle_hash)
-    return (
-        staged.select("id", F.explode(ids).alias("shingle_id"))
-        .distinct()
-    )
+    return staged, ids
 
 
 def shingle_ids(
@@ -700,6 +729,106 @@ def ngram_novelty(
             "n_shingles",
             "n_novel",
             (F.col("n_novel") / F.col("n_shingles")).alias("novelty_frac"),
+        )
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-SPAN coverage: the fraction of each
+    document's word positions covered by at least one length-``n`` window
+    whose corpus-wide occurrence count (all positions, including repeats
+    WITHIN the same document) is >= ``min_count``. This is the
+    span-granular signal behind substring-level training-data dedup (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): document-level near-dup misses a boilerplate footer pasted
+    into a million otherwise-unique pages; this measures exactly how much
+    of each doc is such repeated material, and a downstream cut can drop
+    or trim the high-coverage tail.
+
+    Returns ``(id_col, n_tokens, dup_tokens, dup_frac)`` for EVERY input
+    document (docs shorter than ``n`` words have 0 coverage). ``n_tokens``
+    counts single-space-split words — the same positions the windows index.
+
+    Plan shape: one positional shingle pass per doc (the shared rolling-
+    hash staging, no strings through the shuffle), one occurrence-count
+    aggregate keyed on shingle_id whose exchange is reused by the join
+    back (same contract as :func:`ngram_novelty` — no forced broadcast,
+    the shingle space is unbounded), then per-doc interval merging via
+    two same-sort window passes (gaps-and-islands: a window opens a new
+    island only when it starts past the running max end, so each island
+    is contiguous and coverage sums exactly, overlaps never double-count).
+    The window + final aggregate share one hash partitioning on the doc
+    id; total cost is two shuffles of the position table regardless of
+    corpus size.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    staged, sids = _staged_shingle_exprs(docs, text_col, id_col, n)
+    occ = staged.select(
+        "id", F.posexplode(sids).alias("pos", "sid")
+    )
+    dup_sids = (
+        occ.groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") >= min_count)
+        .select("sid")
+    )
+    hits = occ.join(dup_sids, on="sid").select(
+        "id", "pos", (F.col("pos") + n - 1).alias("__end")
+    )
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hits = hits.withColumn("__pm", F.max("__end").over(w_prev))
+    hits = hits.withColumn(
+        "__island",
+        F.sum(
+            F.when(
+                F.col("__pm").isNull() | (F.col("pos") > F.col("__pm")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    per_doc = (
+        hits.groupBy("id", "__island")
+        .agg((F.max("__end") - F.min("pos") + 1).alias("__cov"))
+        .groupBy("id")
+        .agg(F.sum("__cov").alias("dup_tokens"))
+    )
+    # token counts come from a plain split of the RAW docs — never from
+    # the word-hash array (sizing __wh would run the whole per-word fold
+    # just to count words)
+    doc_tokens = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).alias("n_words"),
+    )
+    return (
+        doc_tokens
+        .join(per_doc, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_words").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.when(
+                F.col("n_words") > 0,
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_words"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
         )
     )
 
