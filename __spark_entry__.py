@@ -2525,6 +2525,45 @@ def _dup_spans_sql() -> str:
     """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style within-cluster embedding dedup (operators/
+    similarity.py:semantic_dedup, mode='dominated'): per label cluster,
+    a vector is a duplicate iff a smaller-id vector in the same cluster
+    has round(cos, 6) >= 0.3 (the synthetic embeddings' within-label
+    cosine tops out near 0.47, so 0.3 yields a mixed drop set). The
+    pairwise pass is an equi self-join on the cluster column — bounded
+    by cluster size, never corpus size."""
+    from htrc_feature_reader_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "label", id_col="vec_id", vec_col="embedding", threshold=0.3
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        "is_dup",
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    return """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      edges AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3),
+      los AS (SELECT idb, min(ida) AS dup_of FROM edges GROUP BY idb)
+      SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+             CAST(e.label AS BIGINT) AS label,
+             (los.dup_of IS NOT NULL) AS is_dup,
+             CAST(los.dup_of AS BIGINT) AS dup_of
+      FROM e LEFT JOIN los ON e.vec_id = los.idb
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2551,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "range_join": q_range_join,
         "dup_spans": q_dup_spans,
+        "semantic_dedup": q_semantic_dedup,
         # --- exactly one formal row (r4) ---
         "chunked_tokenlist_ends": q_chunked_tokenlist_ends,
         "chunked_tokenlist_even": q_chunked_tokenlist_even,
@@ -3359,6 +3399,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": _source_overlap_sql(),
         "range_join": _range_join_sql(),
         "dup_spans": _dup_spans_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
         "split_by_hash": _split_by_hash_sql(),
         "shuffle_order": _shuffle_order_sql(),
         "length_bucket": _length_bucket_sql(),

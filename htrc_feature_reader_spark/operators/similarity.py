@@ -277,3 +277,94 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    mode: str = "dominated",
+    tie_round: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each cluster, find
+    embedding pairs whose cosine >= ``threshold`` and mark every document
+    that loses to a duplicate as droppable (Abbas et al. 2023, "SemDeDup":
+    cluster first so the pairwise pass is bounded by cluster size, never
+    corpus size — the global O(n^2) never materializes).
+
+    ``cluster_col`` is any partition of the corpus: an IVF assignment
+    (:func:`~htrc_feature_reader_spark.operators.ivf.assign_ivf` bucket), an
+    LSH signature (:func:`hyperplane_signature`), or an existing category
+    column. Finer clustering = cheaper and stricter (cross-cluster dups are
+    never compared — that is the approximation being bought).
+
+    Two survivorship contracts, both deterministic under any partitioning:
+
+    - ``mode='dominated'`` (default, single pass): a row is a duplicate iff
+      some SMALLER-id row in its cluster is within threshold; ``dup_of`` is
+      the smallest such id. Conservative (drops strictly more than greedy
+      sequential scanning) but one self-join + one aggregate — the shape to
+      run at 100 TB.
+    - ``mode='components'``: exact duplicate GROUPS — connected components
+      of the threshold graph (via the large/small-star iteration of
+      :func:`~htrc_feature_reader_spark.operators.components.connected_components`);
+      keeps the min id per component. What the SemDeDup paper's per-group
+      "keep one representative" does, at the cost of the iterative CC rounds.
+
+    Returns every input row as ``(id_col, cluster_col, is_dup, dup_of)``
+    with ``dup_of`` null on survivors. Cosine comparisons use
+    ``round(cos, tie_round)`` so a cross-engine replay (or a rerun under
+    different reduction order) cannot flip a boundary pair.
+
+    Scale shape: the self-join keys on ``cluster_col`` — one exchange of
+    (id, cluster, vec), reused by both sides; cost is sum over clusters of
+    size^2, so SIZE YOUR CLUSTERS (IVF k ~ corpus_size / desired_cluster)
+    — a 10^5-row cluster means 10^10 candidate pairs and no engine saves
+    you. No forced broadcasts; AQE handles skewed cluster sizes.
+    """
+    if mode not in ("dominated", "components"):
+        raise ValueError(f"mode must be 'dominated' or 'components', got {mode!r}")
+    a = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    edges = (
+        a.join(b, on="__c")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            "__ida",
+            "__idb",
+            F.round(cosine(F.col("__va"), F.col("__vb")), tie_round).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+    )
+    if mode == "dominated":
+        losers = edges.groupBy("__idb").agg(F.min("__ida").alias("dup_of"))
+        out = df.join(
+            losers, on=df[id_col] == losers["__idb"], how="left"
+        ).drop("__idb")
+    else:
+        from .components import connected_components
+
+        cc = connected_components(edges, id_a="__ida", id_b="__idb")
+        losers = (
+            cc.filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias("__idb"), F.col("component").alias("dup_of"))
+        )
+        out = df.join(
+            losers, on=df[id_col] == losers["__idb"], how="left"
+        ).drop("__idb")
+    return out.select(
+        id_col,
+        cluster_col,
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+    )
