@@ -9,11 +9,13 @@ from .linechars import fold_linechars  # noqa: F401
 from .sections import fold_section_features  # noqa: F401
 from .chunking import chunk_ends, chunk_even, chunk_last, chunked_tokenlist  # noqa: F401
 from .asof import asof_join  # noqa: F401
+from .ranges import range_join  # noqa: F401
 from .windows import with_lag_lead, forward_fill, backward_fill, sessionize  # noqa: F401
 from .features import build_pit_features  # noqa: F401
 from .dedup import (  # noqa: F401
     boilerplate_fraction,
     decontaminate,
+    duplicated_spans,
     ngram_novelty,
     exact_duplicates,
     jaccard_pairs,
@@ -28,7 +30,12 @@ from .dedup import (  # noqa: F401
 )
 from .components import connected_components  # noqa: F401
 from .stats import corpus_stats, source_ngram_overlap, top_terms  # noqa: F401
-from .similarity import cosine_topk, lsh_cosine_topk, near_dup_pairs  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    lsh_cosine_topk,
+    near_dup_pairs,
+    semantic_dedup,
+)
 from .pipeline import (  # noqa: F401
     CleanConfig,
     clean_corpus,
