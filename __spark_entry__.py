@@ -2564,6 +2564,62 @@ def _semantic_dedup_sql() -> str:
     """
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Substring-dedup REWRITE (operators/dedup.py:remove_duplicate_spans):
+    drop every non-first occurrence of a duplicated 4-gram window (global
+    first = min (doc_id, pos)), keeping the rewritten text. The oracle
+    replays the identical window hashes, the same (id, pos) occurrence
+    ranking, and the same removal-wins position set, so the rewritten
+    strings match byte-for-byte."""
+    from htrc_feature_reader_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, n=4, min_count=2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        "n_tokens",
+        "n_removed",
+    )
+
+
+def _dup_span_removal_sql() -> str:
+    sid = _SQL_ROLLHASH.format(col="shingle")
+    return f"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      pos AS (
+        SELECT doc_id, unnest(range(0, greatest(len(l) - 3, 0))) AS p, l
+        FROM d),
+      ids AS (
+        SELECT doc_id, p, {sid} AS sidv FROM (
+          SELECT doc_id, p,
+                 l[p+1] || ' ' || l[p+2] || ' ' || l[p+3] || ' ' || l[p+4] AS shingle
+          FROM pos)),
+      rk AS (
+        SELECT doc_id, p,
+               row_number() OVER (PARTITION BY sidv ORDER BY doc_id, p) AS rk,
+               count(*) OVER (PARTITION BY sidv) AS cnt
+        FROM ids),
+      rem AS (
+        SELECT DISTINCT doc_id, unnest(range(p, p + 4)) AS rpos
+        FROM rk WHERE cnt >= 2 AND rk > 1),
+      w2 AS (
+        SELECT doc_id, wpos, l[wpos + 1] AS word FROM (
+          SELECT doc_id, unnest(range(0, len(l))) AS wpos, l FROM d)),
+      kept AS (
+        SELECT w2.doc_id, w2.wpos, w2.word FROM w2
+        ANTI JOIN rem ON w2.doc_id = rem.doc_id AND w2.wpos = rem.rpos),
+      agg AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY wpos) AS text2,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             coalesce(agg.text2, '') AS text,
+             CAST(len(d.l) AS BIGINT) AS n_tokens,
+             CAST(len(d.l) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed
+      FROM d LEFT JOIN agg USING (doc_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2591,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "dup_spans": q_dup_spans,
         "semantic_dedup": q_semantic_dedup,
+        "dup_span_removal": q_dup_span_removal,
         # --- exactly one formal row (r4) ---
         "chunked_tokenlist_ends": q_chunked_tokenlist_ends,
         "chunked_tokenlist_even": q_chunked_tokenlist_even,
@@ -3400,6 +3457,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _range_join_sql(),
         "dup_spans": _dup_spans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "dup_span_removal": _dup_span_removal_sql(),
         "split_by_hash": _split_by_hash_sql(),
         "shuffle_order": _shuffle_order_sql(),
         "length_bucket": _length_bucket_sql(),

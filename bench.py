@@ -70,6 +70,10 @@ HEADLINE = [
     "pack_sequences",
     "tokenize_hash",
     "repetition",
+    # round-5 additions: interval join, substring-dup coverage, SemDeDup
+    "range_join",
+    "dup_spans",
+    "semantic_dedup",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_ROWS", "2400000"))

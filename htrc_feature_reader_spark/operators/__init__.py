@@ -18,6 +18,7 @@ from .dedup import (  # noqa: F401
     duplicated_spans,
     ngram_novelty,
     exact_duplicates,
+    remove_duplicate_spans,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,

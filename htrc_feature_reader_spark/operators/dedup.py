@@ -881,3 +881,90 @@ def token_shingle_ids(
         df.select(F.col(id_col).alias("id"), F.explode(F.transform(idx, shingle_hash)).alias("shingle_id"))
         .distinct()
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Rewrite each document with duplicated spans REMOVED — the rewrite
+    step of substring-level dedup (Lee et al. 2022): where
+    :func:`duplicated_spans` only measures coverage, this drops the
+    covered tokens and keeps the text.
+
+    Contract (deterministic under any partitioning): occurrences of each
+    duplicated window hash (corpus count >= ``min_count``) are ordered by
+    ``(id, pos)``; the FIRST occurrence keeps its tokens, every later one
+    marks its ``n`` positions for removal. A position marked by ANY
+    non-first occurrence is removed even if some other window's first
+    occurrence also covers it (removal wins — aggressive, simple, and
+    exactly replayable; the alternative "keep shields" rule is
+    order-dependent). Rewritten text re-joins surviving words with single
+    spaces, preserving empty tokens, so documents without removals
+    round-trip byte-identically.
+
+    Returns ``(id_col, text_col, n_tokens, n_removed)`` for every input
+    document (fully-removed docs get the empty string).
+
+    Scale shape: three token-scale stages, all linear — (1) the
+    occurrence table shuffles once on the window hash for the global
+    first-occurrence rank (count + row_number share the one sort), (2)
+    marked occurrences explode to at most ``n x marks`` removal
+    positions, (3) the word-position table anti-joins the removal set and
+    reassembles per doc. No forced broadcasts; no step is quadratic in
+    corpus or document size.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    staged, sids = _staged_shingle_exprs(docs, text_col, id_col, n)
+    occ = staged.select("id", F.posexplode(sids).alias("pos", "sid"))
+    w_rank = Window.partitionBy("sid").orderBy("id", "pos")
+    w_all = Window.partitionBy("sid")
+    marked = (
+        occ.withColumn("__rk", F.row_number().over(w_rank))
+        .withColumn("__cnt", F.count(F.lit(1)).over(w_all))
+        .filter((F.col("__cnt") >= min_count) & (F.col("__rk") > 1))
+    )
+    removed = marked.select(
+        "id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("__rpos"),
+    ).distinct()
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__wpos", "__word"),
+    )
+    kept = words.join(
+        removed,
+        on=(words["id"] == removed["id"]) & (words["__wpos"] == removed["__rpos"]),
+        how="left_anti",
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__wpos", "__word"))),
+                lambda s: s["__word"],
+            ),
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).alias("__n_tokens"),
+    )
+    return (
+        base.join(rebuilt, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.col("__n_tokens").cast("long").alias("n_tokens"),
+            (F.col("__n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -110,3 +110,87 @@ def test_no_forced_broadcast(spark):
         duplicated_spans(df)._jdf.queryExecution().logical().toString()
     )
     assert "ResolvedHint" not in plan  # unbounded shingle space: AQE decides
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans
+
+from htrc_feature_reader_spark.operators.dedup import remove_duplicate_spans
+
+
+def _brute_remove(texts, n, min_count):
+    """Reference: rank occurrences per window globally by (id, pos);
+    non-first occurrences of windows with count >= min_count mark their
+    positions; removal wins."""
+    from collections import defaultdict
+
+    docs = {i: t.split(" ") for i, t in sorted(texts.items())}
+    occs = defaultdict(list)
+    for i, words in docs.items():
+        for p in range(max(len(words) - n + 1, 0)):
+            occs[" ".join(words[p : p + n])].append((i, p))
+    removed = defaultdict(set)
+    for lst in occs.values():
+        if len(lst) >= min_count:
+            for i, p in sorted(lst)[1:]:
+                removed[i].update(range(p, p + n))
+    out = {}
+    for i, words in docs.items():
+        kept = [w for p, w in enumerate(words) if p not in removed[i]]
+        out[i] = (" ".join(kept), len(words), len(words) - len(kept))
+    return out
+
+
+def _run_remove(spark, texts, n=4, min_count=2):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    rows = remove_duplicate_spans(df, n=n, min_count=min_count).collect()
+    return {r.doc_id: (r.text, r.n_tokens, r.n_removed) for r in rows}
+
+
+def test_remove_keeps_first_occurrence(spark):
+    texts = {
+        0: "a b c d x y z w",       # first occurrence (doc 0 < doc 1): kept
+        1: "p q a b c d r s",       # later occurrence: removed
+        2: "clean doc with its own words here",
+    }
+    got = _run_remove(spark, texts, n=4)
+    assert got[0] == ("a b c d x y z w", 8, 0)
+    assert got[1] == ("p q r s", 8, 4)
+    assert got[2][2] == 0
+
+
+def test_remove_full_duplicate_doc_empties(spark):
+    texts = {0: "w1 w2 w3 w4 w5", 1: "w1 w2 w3 w4 w5"}
+    got = _run_remove(spark, texts, n=4)
+    assert got[0] == ("w1 w2 w3 w4 w5", 5, 0)
+    assert got[1] == ("", 5, 5)
+
+
+def test_remove_within_doc_repeat(spark):
+    # second in-doc occurrence removed, first kept
+    texts = {0: "a b c d z a b c d"}
+    got = _run_remove(spark, texts, n=4)
+    assert got[0] == ("a b c d z", 9, 4)
+
+
+def test_remove_roundtrips_clean_docs_byte_identically(spark):
+    texts = {0: "solo  doc with  double  spaces preserved", 1: "x"}
+    got = _run_remove(spark, texts, n=4)
+    assert got[0][0] == texts[0]
+    assert got[1][0] == texts[1]
+
+
+@pytest.mark.parametrize("n,min_count", [(3, 2), (4, 2), (4, 3)])
+def test_remove_matches_brute_force(spark, n, min_count):
+    rng = random.Random(19)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 22)))
+        for i in range(35)
+    }
+    got = _run_remove(spark, texts, n=n, min_count=min_count)
+    ref = _brute_remove(texts, n, min_count)
+    for i in texts:
+        assert got[i] == ref[i], (i, got[i], ref[i])
