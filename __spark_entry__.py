@@ -2487,7 +2487,7 @@ def q_dup_spans(spark, sf_dir):
 
 
 def _dup_spans_sql() -> str:
-    sid = _SQL_ROLLHASH.format(col="shingle")
+    sid = _sql_dual_hash("shingle")
     return f"""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       pos AS (
@@ -2583,7 +2583,7 @@ def q_dup_span_removal(spark, sf_dir):
 
 
 def _dup_span_removal_sql() -> str:
-    sid = _SQL_ROLLHASH.format(col="shingle")
+    sid = _sql_dual_hash("shingle")
     return f"""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       pos AS (
@@ -2746,6 +2746,14 @@ from htrc_feature_reader_spark.operators.text import (  # noqa: E402
 )
 
 _SQL_ROLLHASH = _ROLLHASH_TMPL.replace("{mod}", "2147483647")
+# second independent family (base 263) for the dual ~62-bit span-window ids
+_SQL_ROLLHASH263 = _ROLLHASH_TMPL.replace("257", "263").replace("{mod}", "2147483647")
+
+
+def _sql_dual_hash(col: str) -> str:
+    """h257 * 2^31 + h263 — replays _staged_shingle_exprs(dual=True)."""
+    return (f"({_SQL_ROLLHASH.format(col=col)} * 2147483648 + "
+            f"{_SQL_ROLLHASH263.format(col=col)})")
 
 
 def _jaccard_sql() -> str:

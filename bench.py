@@ -74,6 +74,7 @@ HEADLINE = [
     "range_join",
     "dup_spans",
     "semantic_dedup",
+    "dup_span_removal",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_ROWS", "2400000"))

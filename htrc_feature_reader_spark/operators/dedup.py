@@ -114,6 +114,7 @@ def _staged_shingle_exprs(
     n: int,
     base: int = 257,
     mod: int = (1 << 31) - 1,
+    dual: bool = False,
 ):
     """Returns ``(staged, ids)``: ``staged`` is the one-row-per-doc frame
     ``(id, __wh)`` with the word-hash array materialized as its own
@@ -131,23 +132,57 @@ def _staged_shingle_exprs(
     at sf0.01 (the array materializes outside the generator's
     whole-stage-codegen span) — the same projection-shape trap as the
     ``__wh`` CollapseProject note below.
+
+    ``dual=True`` composes a SECOND independent polynomial hash (base 263,
+    same modulus) in the same char pass and packs the pair as
+    ``h257 * 2^31 + h263`` — a ~62-bit id. The single 31-bit family is
+    fine where a collision only blurs a similarity signal (LSH banding,
+    Jaccard, novelty counts), but :func:`remove_duplicate_spans` DELETES
+    text on hash equality: at 10^8+ window occurrences the 31-bit
+    birthday bound yields ~10^6 false-duplicate marks, each destroying
+    unique tokens. Two independent folds push the first expected
+    collision past 10^9 windows; both folds replay in SQL (the oracle
+    hashes the shingle string twice with the two bases).
     """
     from ..functions import ensure_min_parallelism
 
     df = ensure_min_parallelism(df)  # CPU-bound folds: spread tiny inputs
     words = F.split(F.col(text_col), " ")
-    # one char pass per word: (h, p) = (polynomial hash, base^len % mod)
-    wh = F.transform(
-        words,
-        lambda w: F.aggregate(
-            F.array_remove(F.split(w, ""), ""),
-            F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")),
-            lambda acc, ch: F.struct(
-                ((acc["h"] * base + F.ascii(ch)) % mod).alias("h"),
-                ((acc["p"] * base) % mod).alias("p"),
-            ),
-        ),
-    )
+    base2 = 263  # second independent family for dual mode
+    # one char pass per word: (h, p) = (polynomial hash, base^len % mod);
+    # dual mode folds (g, q) for base2 in the same pass
+    if dual:
+        def word_fold(w):
+            return F.aggregate(
+                F.array_remove(F.split(w, ""), ""),
+                F.struct(
+                    F.lit(0).cast("long").alias("h"),
+                    F.lit(1).cast("long").alias("p"),
+                    F.lit(0).cast("long").alias("g"),
+                    F.lit(1).cast("long").alias("q"),
+                ),
+                lambda acc, ch: F.struct(
+                    ((acc["h"] * base + F.ascii(ch)) % mod).alias("h"),
+                    ((acc["p"] * base) % mod).alias("p"),
+                    ((acc["g"] * base2 + F.ascii(ch)) % mod).alias("g"),
+                    ((acc["q"] * base2) % mod).alias("q"),
+                ),
+            )
+    else:
+        def word_fold(w):
+            return F.aggregate(
+                F.array_remove(F.split(w, ""), ""),
+                F.struct(
+                    F.lit(0).cast("long").alias("h"),
+                    F.lit(1).cast("long").alias("p"),
+                ),
+                lambda acc, ch: F.struct(
+                    ((acc["h"] * base + F.ascii(ch)) % mod).alias("h"),
+                    ((acc["p"] * base) % mod).alias("p"),
+                ),
+            )
+
+    wh = F.transform(words, word_fold)
     # materialize the word-hash array as its own projection: the compose
     # step references it n times, and Catalyst would otherwise INLINE the
     # whole per-word fold into every element_at — O(words^2) per doc
@@ -157,11 +192,19 @@ def _staged_shingle_exprs(
     wha = F.col("__wh")
 
     def shingle_hash(i):
-        h = F.element_at(wha, i + 1)["h"]
+        first = F.element_at(wha, i + 1)
+        h = first["h"]
+        g = first["g"] if dual else None
         for j in range(1, n):
             e = F.element_at(wha, i + 1 + j)
             h = (h * base + 32) % mod  # the joining space (ascii 32)
             h = (h * e["p"] + e["h"]) % mod
+            if dual:
+                g = (g * base2 + 32) % mod
+                g = (g * e["q"] + e["g"]) % mod
+        if dual:
+            # pack: h < 2^31-1 so h * 2^31 + g < 2^62 — fits int64 (ANSI-safe)
+            return h * F.lit(1 << 31).cast("long") + g
         return h
 
     idx = F.when(
@@ -755,34 +798,35 @@ def duplicated_spans(
     document (docs shorter than ``n`` words have 0 coverage). ``n_tokens``
     counts single-space-split words — the same positions the windows index.
 
-    Plan shape: one positional shingle pass per doc (the shared rolling-
-    hash staging, no strings through the shuffle), one occurrence-count
-    aggregate keyed on shingle_id whose exchange is reused by the join
-    back (same contract as :func:`ngram_novelty` — no forced broadcast,
-    the shingle space is unbounded), then per-doc interval merging via
-    two same-sort window passes (gaps-and-islands: a window opens a new
-    island only when it starts past the running max end, so each island
-    is contiguous and coverage sums exactly, overlaps never double-count).
-    The window + final aggregate share one hash partitioning on the doc
-    id; total cost is two shuffles of the position table regardless of
-    corpus size.
+    Window identity uses the dual ~62-bit hash family (collisions here
+    overstate coverage that downstream cuts act on — same rationale as
+    :func:`remove_duplicate_spans`).
+
+    Plan shape: ONE positional shingle pass per doc (the shared rolling-
+    hash staging, no strings through the shuffle — the expensive word-
+    hash fold runs once, not once per consumer), one shuffle on the
+    window hash where a whole-partition count window marks duplicated
+    occurrences in place (no groupBy + join-back, which would plan the
+    fold twice — the exchanges differ so ReuseExchange cannot merge
+    them), then per-doc interval merging via two same-sort window passes
+    (gaps-and-islands: a window opens a new island only when it starts
+    past the running max end, so each island is contiguous and coverage
+    sums exactly, overlaps never double-count). The island windows and
+    the final aggregate share one hash partitioning on the doc id; total
+    cost is two shuffles of the position table regardless of corpus size.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    staged, sids = _staged_shingle_exprs(docs, text_col, id_col, n)
+    staged, sids = _staged_shingle_exprs(docs, text_col, id_col, n, dual=True)
     occ = staged.select(
         "id", F.posexplode(sids).alias("pos", "sid")
     )
-    dup_sids = (
-        occ.groupBy("sid")
-        .agg(F.count(F.lit(1)).alias("__occ"))
-        .filter(F.col("__occ") >= min_count)
-        .select("sid")
-    )
-    hits = occ.join(dup_sids, on="sid").select(
-        "id", "pos", (F.col("pos") + n - 1).alias("__end")
+    hits = (
+        occ.withColumn("__cnt", F.count(F.lit(1)).over(Window.partitionBy("sid")))
+        .filter(F.col("__cnt") >= min_count)
+        .select("id", "pos", (F.col("pos") + n - 1).alias("__end"))
     )
     w_prev = (
         Window.partitionBy("id")
@@ -909,6 +953,11 @@ def remove_duplicate_spans(
     Returns ``(id_col, text_col, n_tokens, n_removed)`` for every input
     document (fully-removed docs get the empty string).
 
+    Window identity uses the DUAL ~62-bit hash family (two independent
+    polynomial folds — see ``_staged_shingle_exprs(dual=True)``): this
+    operator deletes text on hash equality, so the 31-bit family's
+    corpus-scale birthday collisions would destroy unique tokens.
+
     Scale shape: three token-scale stages, all linear — (1) the
     occurrence table shuffles once on the window hash for the global
     first-occurrence rank (count + row_number share the one sort), (2)
@@ -921,7 +970,7 @@ def remove_duplicate_spans(
         raise ValueError(f"n must be >= 1, got {n}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    staged, sids = _staged_shingle_exprs(docs, text_col, id_col, n)
+    staged, sids = _staged_shingle_exprs(docs, text_col, id_col, n, dual=True)
     occ = staged.select("id", F.posexplode(sids).alias("pos", "sid"))
     w_rank = Window.partitionBy("sid").orderBy("id", "pos")
     w_all = Window.partitionBy("sid")

@@ -70,8 +70,10 @@ def range_join(
     eagerly (rename before joining — silent suffixing hides bugs).
 
     ``how='left'`` keeps unmatched probe rows with null interval columns
-    and requires ``probe_id`` (a unique probe key) so the anti-join
-    add-back cannot duplicate or drop rows; 'inner' is the default.
+    and requires ``probe_id`` — a UNIQUE, NON-NULL probe key (null ids
+    would share one window partition and lose rows); implemented as one
+    binned left join plus a per-probe window, so the join is never
+    planned twice. 'inner' is the default.
 
     ``bin_width_s``: bin width in seconds, or ``'auto'`` (mean interval
     length, clamped to ``[min_bin_s, max_bin_s]``, computed lazily as a
@@ -81,12 +83,25 @@ def range_join(
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if how == "left" and probe_id is None:
         raise ValueError("how='left' requires probe_id (a unique probe key)")
+    if not (min_bin_s > 0):
+        raise ValueError(f"min_bin_s must be positive, got {min_bin_s!r}")
+    if max_bin_s < min_bin_s:
+        raise ValueError(
+            f"max_bin_s ({max_bin_s!r}) must be >= min_bin_s ({min_bin_s!r})"
+        )
     keys = list(keys or [])
     overlap = (set(probe.columns) & set(intervals.columns)) - set(keys)
     if overlap:
         raise ValueError(
             f"probe and intervals share non-key columns {sorted(overlap)}; "
             "rename them before range_join (silent suffixing hides bugs)"
+        )
+    reserved = {"__w", "__bin", "__pus", "__sus", "__eus", "__flag", "__rn"}
+    taken = reserved & (set(probe.columns) | set(intervals.columns))
+    if taken:
+        raise ValueError(
+            f"columns {sorted(taken)} collide with range_join internals; "
+            "rename them first"
         )
 
     pus = ts_micros(F.col(ts))
@@ -135,21 +150,29 @@ def range_join(
         "__bin", (F.col("__pus") / F.col("__w")).cast("long")
     ).drop("__w")
 
+    helpers = ["__bin", "__pus", "__sus", "__eus"]
     cond = (F.col("__pus") >= F.col("__sus")) & (F.col("__pus") <= F.col("__eus"))
-    matched = (
-        pr.join(ivl, on=keys + ["__bin"], how="inner")
-        .filter(cond)
-        .drop("__bin", "__pus", "__sus", "__eus")
-    )
     if how == "inner":
-        return matched
+        return (
+            pr.join(ivl, on=keys + ["__bin"], how="inner")
+            .filter(cond)
+            .drop(*helpers)
+        )
 
-    unmatched = probe.join(
-        matched.select(probe_id).distinct(), on=probe_id, how="left_anti"
+    # left: ONE binned left join (never planned twice), then a single
+    # window on probe_id keeps all true matches, or exactly one nulled row
+    # when none — ordering by the flag makes the rank-1 row a match
+    # whenever any exists, so the filter never double-emits a probe row.
+    from pyspark.sql.window import Window
+
+    ivl_payload = [c for c in ivl.columns if c not in keys and c not in helpers]
+    joined = pr.join(ivl, on=keys + ["__bin"], how="left").withColumn(
+        "__flag", F.coalesce(cond, F.lit(False))
     )
-    for c in matched.columns:
-        if c not in unmatched.columns:
-            unmatched = unmatched.withColumn(
-                c, F.lit(None).cast(matched.schema[c].dataType)
-            )
-    return matched.unionByName(unmatched.select(*matched.columns))
+    w = Window.partitionBy(probe_id).orderBy(F.col("__flag").desc())
+    joined = joined.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__flag") | (F.col("__rn") == 1)
+    )
+    for c in ivl_payload:
+        joined = joined.withColumn(c, F.when(F.col("__flag"), F.col(c)))
+    return joined.drop("__flag", "__rn", *helpers)

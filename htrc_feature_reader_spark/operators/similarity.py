@@ -326,6 +326,13 @@ def semantic_dedup(
     """
     if mode not in ("dominated", "components"):
         raise ValueError(f"mode must be 'dominated' or 'components', got {mode!r}")
+    taken = {"is_dup", "dup_of", "__idb"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with semantic_dedup's "
+            "output/internals; rename them first (e.g. when re-running over "
+            "a previously annotated frame)"
+        )
     a = df.select(
         F.col(cluster_col).alias("__c"),
         F.col(id_col).alias("__ida"),

@@ -137,3 +137,30 @@ def test_plan_has_no_nested_loop(spark, frames):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_bin_width_validation(spark, frames):
+    probe, intervals = frames
+    with pytest.raises(ValueError, match="min_bin_s"):
+        range_join(probe, intervals, keys=["k"], min_bin_s=0)
+    with pytest.raises(ValueError, match="max_bin_s"):
+        range_join(probe, intervals, keys=["k"], min_bin_s=10.0, max_bin_s=1.0)
+    with pytest.raises(ValueError, match="positive"):
+        range_join(probe, intervals, keys=["k"], bin_width_s=0)
+
+
+def test_reserved_internal_names_raise(spark, frames):
+    probe, intervals = frames
+    with pytest.raises(ValueError, match="internals"):
+        range_join(probe.withColumn("__bin", F.lit(1)), intervals, keys=["k"])
+
+
+def test_left_join_single_binned_join(spark, frames):
+    # the left path must not plan the explode+join twice
+    probe, intervals = frames
+    plan = (
+        range_join(probe, intervals, keys=["k"], bin_width_s=60.0,
+                   how="left", probe_id="pid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Generate explode") == 1

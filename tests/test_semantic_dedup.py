@@ -139,3 +139,9 @@ def test_plan_cluster_equijoin_no_cartesian(spark):
 def test_mode_validation(spark):
     with pytest.raises(ValueError, match="mode"):
         semantic_dedup(_df(spark, [(0, 0, [1.0])]), "label", mode="greedy")
+
+
+def test_output_column_collision_raises(spark):
+    df = _df(spark, [(0, 0, [1.0])]).withColumn("dup_of", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        semantic_dedup(df, "label")
