@@ -333,15 +333,25 @@ def semantic_dedup(
             "output/internals; rename them first (e.g. when re-running over "
             "a previously annotated frame)"
         )
+    # compute each vector's norm ONCE per row before the self-join:
+    # per-pair work is then a single dot fold + one divide. Calling
+    # cosine(a, b) on the joined pair folds THREE aggregates per pair
+    # (dot + both norms) — measured 119 s vs seconds at sf0.1 for the
+    # same result. The per-pair expression dot/(na*nb) keeps the exact
+    # arithmetic shape the SQL oracle evaluates (unit-normalizing the
+    # vectors instead would perturb the last float bit and could flip a
+    # round-6 boundary pair across engines).
     a = df.select(
         F.col(cluster_col).alias("__c"),
         F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
     )
     b = df.select(
         F.col(cluster_col).alias("__c"),
         F.col(id_col).alias("__idb"),
         F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
     )
     edges = (
         a.join(b, on="__c")
@@ -349,7 +359,11 @@ def semantic_dedup(
         .select(
             "__ida",
             "__idb",
-            F.round(cosine(F.col("__va"), F.col("__vb")), tie_round).alias("__cos"),
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                tie_round,
+            ).alias("__cos"),
         )
         .filter(F.col("__cos") >= threshold)
     )
