@@ -2745,9 +2745,9 @@ from htrc_feature_reader_spark.operators.text import (  # noqa: E402
     ROLLING_HASH_SQL as _ROLLHASH_TMPL,
 )
 
-_SQL_ROLLHASH = _ROLLHASH_TMPL.replace("{mod}", "2147483647")
+_SQL_ROLLHASH = _ROLLHASH_TMPL.replace("{mod}", "2147483647").replace("{base}", "257")
 # second independent family (base 263) for the dual ~62-bit span-window ids
-_SQL_ROLLHASH263 = _ROLLHASH_TMPL.replace("257", "263").replace("{mod}", "2147483647")
+_SQL_ROLLHASH263 = _ROLLHASH_TMPL.replace("{mod}", "2147483647").replace("{base}", "263")
 
 
 def _sql_dual_hash(col: str) -> str:

@@ -806,9 +806,18 @@ def duplicated_spans(
     hash staging, no strings through the shuffle — the expensive word-
     hash fold runs once, not once per consumer), one shuffle on the
     window hash where a whole-partition count window marks duplicated
-    occurrences in place (no groupBy + join-back, which would plan the
-    fold twice — the exchanges differ so ReuseExchange cannot merge
-    them), then per-doc interval merging via two same-sort window passes
+    occurrences in place. The tradeoff vs groupBy + join-back is
+    deliberate: the join-back shape would re-plan the fold (its two
+    exchanges differ, so ReuseExchange cannot merge them — 2x CPU over
+    the whole corpus) but is AQE-skew-splittable, while a window group
+    cannot be split — a degenerate window ("! ! ! !" at 10^8
+    occurrences) lands its ~2.4 GB of narrow (id, pos, sid) rows on one
+    sort-spilling task. That straggler FINISHES (spill, not OOM) and the
+    hot windows are precisely the boilerplate this op exists to find, so
+    the once-computed fold wins; :func:`remove_duplicate_spans` needs
+    the same window anyway (its first-occurrence rank has no
+    aggregate-shaped alternative). Then per-doc interval merging runs
+    via two same-sort window passes
     (gaps-and-islands: a window opens a new island only when it starts
     past the running max end, so each island is contiguous and coverage
     sums exactly, overlaps never double-count). The island windows and

@@ -166,6 +166,18 @@ def range_join(
     from pyspark.sql.window import Window
 
     ivl_payload = [c for c in ivl.columns if c not in keys and c not in helpers]
+    # a NULL probe id would collapse every null-id row into one window
+    # partition and silently LOSE rows — fail loudly at runtime instead
+    # (the other preconditions raise eagerly; this one needs the data).
+    # The assert rides inside the always-used __pus column so column
+    # pruning cannot drop it: assert_true yields NULL on success, so the
+    # when() is the identity on valid rows and throws on the first null id.
+    guard = F.assert_true(
+        F.col(probe_id).isNotNull(),
+        F.lit(f"range_join(how='left'): null probe id in {probe_id!r} — "
+              "probe_id must be unique and non-null"),
+    )
+    pr = pr.withColumn("__pus", F.when(guard.isNull(), F.col("__pus")))
     joined = pr.join(ivl, on=keys + ["__bin"], how="left").withColumn(
         "__flag", F.coalesce(cond, F.lit(False))
     )

@@ -182,7 +182,7 @@ def tokenize(
 ROLLING_HASH_SQL = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), "
     "list_transform(string_split({col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
-    "(a, b) -> (a * 257 + b) % {mod})"
+    "(a, b) -> (a * {base} + b) % {mod})"
 )
 """DuckDB replay template of :func:`rolling_hash` (base 257, mod 2^31-1
 by default) — THE cross-engine string-hash family every oracle shares.
@@ -190,9 +190,11 @@ One definition: an edit here changes Spark-side parity consumers and
 every SQL replay together (see :func:`rolling_hash_sql`)."""
 
 
-def rolling_hash_sql(col: str, mod: int = (1 << 31) - 1) -> str:
-    """Format :data:`ROLLING_HASH_SQL` for a DuckDB expression/column."""
-    return ROLLING_HASH_SQL.format(col=col, mod=int(mod))
+def rolling_hash_sql(col: str, mod: int = (1 << 31) - 1, base: int = 257) -> str:
+    """Format :data:`ROLLING_HASH_SQL` for a DuckDB expression/column.
+    ``base`` selects the hash family (257 default; 263 is the second
+    family of the dual ~62-bit span-window ids)."""
+    return ROLLING_HASH_SQL.format(col=col, mod=int(mod), base=int(base))
 
 
 def tokenize_sql(

@@ -63,6 +63,10 @@ def read_manifest(path: str) -> dict:
 
 
 def _write_manifest(path: str, manifest: dict) -> None:
+    # an empty input writes zero partitions, so no parquet write ever
+    # created the directory — the manifest (with its snapshot id) must
+    # still land so a later resume sees a completed, empty run
+    os.makedirs(path, exist_ok=True)
     tmp = _manifest_path(path) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

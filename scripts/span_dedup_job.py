@@ -28,6 +28,10 @@ def main() -> None:
     snapshot = sys.argv[3] if len(sys.argv) > 3 else "unversioned"
     n = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     min_count = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    # fold the span parameters into the snapshot id: resuming a partial
+    # out_dir with different n/min_count must trip resume_write's
+    # snapshot-mismatch guard, not silently mix two removal lineages
+    snapshot = f"{snapshot}-n{n}-c{min_count}"
     spark = SparkSession.builder.appName("span-dedup").getOrCreate()
 
     docs = spark.read.parquet(docs_path)
@@ -38,11 +42,16 @@ def main() -> None:
     manifest = resume_write(out, out_dir, "bucket", snapshot_id=snapshot)
     n_docs = sum(p["row_count"] for p in manifest["partitions"].values())
     # token totals from the WRITTEN output (one cheap scan of two int64
-    # columns — column pruning reaches the parquet footer stats)
-    agg = spark.read.parquet(out_dir).agg(
-        F.sum("n_tokens").alias("t"), F.sum("n_removed").alias("r")
-    ).first()
-    t, r = int(agg["t"] or 0), int(agg["r"] or 0)
+    # columns — column pruning reaches the parquet footer stats); an empty
+    # corpus writes no parquet at all, so skip the read rather than die
+    # on schema inference after the write already succeeded
+    if n_docs:
+        agg = spark.read.parquet(out_dir).agg(
+            F.sum("n_tokens").alias("t"), F.sum("n_removed").alias("r")
+        ).first()
+        t, r = int(agg["t"] or 0), int(agg["r"] or 0)
+    else:
+        t, r = 0, 0
     print(
         f"partitions complete: {len(manifest['partitions'])} (of {N_BUCKETS} "
         f"hash buckets); docs {n_docs}; tokens removed {r}/{t} "

@@ -150,3 +150,16 @@ def test_verify_with_type_inferrable_partition_values(spark, tmp_path):
     assert sorted(read_manifest(path)["partitions"]) == [
         "000", "001", "002", "003"]
     assert verify_output(spark, path) == []
+
+
+def test_resume_empty_input_writes_manifest(spark, df, tmp_path):
+    # zero todo partitions -> no parquet write ever creates the dir; the
+    # manifest (with its snapshot id) must still land, and a re-resume
+    # must see a completed empty run rather than crash on a missing dir
+    path = str(tmp_path / "out_empty")
+    empty = df.filter(F.lit(False))
+    manifest = resume_write(empty, path, "bucket", snapshot_id="snapE")
+    assert manifest["partitions"] == {}
+    assert read_manifest(path)["snapshot_id"] == "snapE"
+    again = resume_write(empty, path, "bucket", snapshot_id="snapE")
+    assert again["partitions"] == {}

@@ -164,3 +164,14 @@ def test_left_join_single_binned_join(spark, frames):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Generate explode") == 1
+
+
+def test_left_join_null_probe_id_fails_loudly(spark, frames):
+    probe, intervals = frames
+    bad = probe.withColumn(
+        "pid", F.when(F.col("pid") == 0, F.lit(None)).otherwise(F.col("pid"))
+    )
+    out = range_join(bad, intervals, keys=["k"], bin_width_s=60.0,
+                     how="left", probe_id="pid")
+    with pytest.raises(Exception, match="null probe id"):
+        out.collect()
