@@ -2423,6 +2423,260 @@ def _source_overlap_sql() -> str:
     """
 
 
+def q_trailing_features(spark, sf_dir):
+    """Trailing event-time-horizon rollups (operators/features.py:
+    trailing_window_features): per sequence row, events and token mass in
+    the trailing 1h / 1d as of the row's timestamp (SQL-standard
+    inclusive range frame — nothing later than the as-of instant). All
+    horizons share ONE exchange + sort (plan-tested); exact int64."""
+    from htrc_feature_reader_spark.operators.features import (
+        trailing_window_features,
+    )
+
+    seqs = _sequences_from_events(spark, sf_dir).drop("tokens")
+    out = trailing_window_features(
+        seqs, doc_col="doc_key", ts_col="ts",
+        horizons_s={"1h": 3600.0, "1d": 86400.0}, value_col="n_tok",
+        payload_cols=(),
+    )
+    return out.select(
+        "doc_key", "event_id",
+        "trail_n_1h", "trail_n_tok_1h", "trail_n_1d", "trail_n_tok_1d",
+    )
+
+
+def _trailing_features_sql() -> str:
+    return f"""
+      WITH seq AS ({_SQL_SEQUENCES})
+      SELECT doc_key, event_id,
+             CAST(count(*) OVER w1 AS BIGINT) AS trail_n_1h,
+             CAST(sum(n_tok) OVER w1 AS BIGINT) AS trail_n_tok_1h,
+             CAST(count(*) OVER w2 AS BIGINT) AS trail_n_1d,
+             CAST(sum(n_tok) OVER w2 AS BIGINT) AS trail_n_tok_1d
+      FROM seq
+      WINDOW w1 AS (PARTITION BY doc_key ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+             w2 AS (PARTITION BY doc_key ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/selection.py:dsir_weights, Xie
+    et al. 2023): hashed word 1+2-gram bucket multinomials fit on the raw
+    corpus vs an English-only target slice; per raw doc the summed
+    log-likelihood ratio. The <= n_buckets-row ratio table is broadcast —
+    bounded by CONSTRUCTION (caller parameter), the deliberate contrast
+    with tf_idf's unbounded unhinted vocabulary. The oracle replays the
+    identical rolling-hash bucketing."""
+    from htrc_feature_reader_spark.operators.selection import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_weights(docs, target, n_buckets=4096)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.round("logw", 9).alias("logw9"),
+    )
+
+
+_DSIR_BUCKETS = 4096
+
+
+def _dsir_buckets_cte(pred: str = "TRUE") -> str:
+    """Bucket instances (doc_id, bucket) of word 1+2-grams, replaying
+    hashed_ngram_buckets bit-for-bit."""
+    from htrc_feature_reader_spark.operators.selection import ngram_buckets_sql
+
+    expr = ngram_buckets_sql(n_buckets=_DSIR_BUCKETS, ngrams=(1, 2))
+    return f"""
+      SELECT doc_id, unnest({expr}) AS bucket
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS l
+            FROM documents WHERE {pred})
+    """
+
+
+def _dsir_weights_sql() -> str:
+    b = _DSIR_BUCKETS
+    return f"""
+      WITH rb AS ({_dsir_buckets_cte()}),
+      tb AS ({_dsir_buckets_cte("lang = 'en'")}),
+      rc AS (SELECT bucket, count(*) AS c_raw FROM rb GROUP BY bucket),
+      tc AS (SELECT bucket, count(*) AS c_tgt FROM tb GROUP BY bucket),
+      dist AS (
+        SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+               COALESCE(c_raw, 0) AS c_raw, COALESCE(c_tgt, 0) AS c_tgt
+        FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket),
+      tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM dist),
+      ratio AS (
+        SELECT bucket,
+               ln((c_tgt + 1.0) / (t_tgt + 1.0 * {b}))
+               - ln((c_raw + 1.0) / (t_raw + 1.0 * {b})) AS lr
+        FROM dist CROSS JOIN tot),
+      per AS (
+        SELECT rb.doc_id, count(*) AS n_feats, sum(lr) AS logw
+        FROM rb JOIN ratio USING (bucket) GROUP BY rb.doc_id)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+             round(COALESCE(logw, 0.0), 9) AS logw9
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+
+
+_RESAMPLE_K = 60
+_RESAMPLE_SEED = 11
+
+
+def q_importance_resample(spark, sf_dir):
+    """Gumbel top-k importance resampling (operators/selection.py:
+    importance_resample): k docs without replacement, probability
+    proportional to exp(logw), seed-pure — the 'randomness' is the shared
+    mix(key_hash(id)) integer family, so the oracle replays the exact
+    draw. Weights here are the DSIR weights of q_dsir_weights."""
+    from htrc_feature_reader_spark.operators.selection import (
+        dsir_weights,
+        importance_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_weights(docs, target, n_buckets=_DSIR_BUCKETS)
+    out = importance_resample(w, k=_RESAMPLE_K, seed=_RESAMPLE_SEED)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("gumbel_key", 9).alias("gkey9"),
+    )
+
+
+def _importance_resample_sql() -> str:
+    from htrc_feature_reader_spark.operators.selection import gumbel_key_sql
+
+    key = gumbel_key_sql("doc_id", "logw", _RESAMPLE_SEED)
+    return f"""
+      WITH rb AS ({_dsir_buckets_cte()}),
+      tb AS ({_dsir_buckets_cte("lang = 'en'")}),
+      rc AS (SELECT bucket, count(*) AS c_raw FROM rb GROUP BY bucket),
+      tc AS (SELECT bucket, count(*) AS c_tgt FROM tb GROUP BY bucket),
+      dist AS (
+        SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+               COALESCE(c_raw, 0) AS c_raw, COALESCE(c_tgt, 0) AS c_tgt
+        FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket),
+      tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt FROM dist),
+      ratio AS (
+        SELECT bucket,
+               ln((c_tgt + 1.0) / (t_tgt + 1.0 * {_DSIR_BUCKETS}))
+               - ln((c_raw + 1.0) / (t_raw + 1.0 * {_DSIR_BUCKETS})) AS lr
+        FROM dist CROSS JOIN tot),
+      per AS (
+        SELECT rb.doc_id, sum(lr) AS logw
+        FROM rb JOIN ratio USING (bucket) GROUP BY rb.doc_id),
+      w AS (
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               COALESCE(logw, 0.0) AS logw
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id)
+      SELECT doc_id, round({key}, 9) AS gkey9
+      FROM w ORDER BY {key} DESC LIMIT {_RESAMPLE_K}
+    """
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM scoring (operators/text.py:bigram_logprob):
+    per doc, mean bits of its word transitions under lam*MLE-bigram +
+    (1-lam)*MLE-unigram, self-trained in the same lazy plan. All three
+    count joins are unhinted (unbounded vocabulary, AQE decides)."""
+    from htrc_feature_reader_spark.operators.text import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs, lam=0.9).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_trans").cast("long").alias("n_trans"),
+        F.round("bits_per_trans", 9).alias("bpt9"),
+    )
+
+
+def _bigram_logprob_sql() -> str:
+    return r"""
+      WITH w AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+        FROM documents),
+      toks AS (SELECT doc_id, unnest(l) AS cur FROM w),
+      uni AS (SELECT cur, count(*) AS c_uni FROM toks GROUP BY cur),
+      tot AS (SELECT count(*) AS n FROM toks),
+      tr AS (
+        SELECT doc_id, l[i+1] AS prev, l[i+2] AS cur
+        FROM (SELECT doc_id, l,
+                     unnest(range(0, greatest(len(l) - 1, 0))) AS i
+              FROM w)),
+      big AS (SELECT prev, cur, count(*) AS c_big FROM tr GROUP BY prev, cur),
+      ctx AS (SELECT prev, count(*) AS c_ctx FROM tr GROUP BY prev),
+      scored AS (
+        SELECT tr.doc_id, count(*) AS n_trans,
+               avg(-log2(0.9 * (c_big * 1.0 / c_ctx)
+                         + (1.0 - 0.9) * (c_uni * 1.0 / n))) AS bits
+        FROM tr JOIN big USING (prev, cur) JOIN ctx USING (prev)
+             JOIN uni USING (cur) CROSS JOIN tot
+        GROUP BY tr.doc_id)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(COALESCE(n_trans, 0) AS BIGINT) AS n_trans,
+             round(bits, 9) AS bpt9
+      FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+    """
+
+
+def q_token_drift(spark, sf_dir):
+    """Per-source token-distribution drift (operators/stats.py:
+    token_drift): smoothed KL(p_source || p_corpus) over the token-id
+    vocabulary of the north-rule sequences, absent-token mass folded in
+    CLOSED FORM (no #sources x V cross join — see the operator
+    docstring). The oracle computes the NAIVE full-vocabulary KL via an
+    actual sources x vocab cross join — an independent derivation, so a
+    bug in the closed-form algebra cannot cancel itself out."""
+    from htrc_feature_reader_spark.operators.stats import token_drift
+
+    seqs = _sequences_from_events(spark, sf_dir)
+    return token_drift(seqs, alpha=1.0).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("v_present").cast("long").alias("v_present"),
+        F.round("kl", 9).alias("kl9"),
+    )
+
+
+def _token_drift_sql() -> str:
+    return f"""
+      WITH seq AS ({_SQL_SEQUENCES}),
+      toks AS (
+        SELECT source,
+               unnest(list_transform(range(0, CAST(n_tok AS INT)),
+                 i -> (event_id * {_SEQ_MULT} + i * {_SEQ_STEP}) % {_SEQ_VOCAB})) AS tok
+        FROM seq),
+      ct AS (SELECT tok, count(*) AS c_t FROM toks GROUP BY tok),
+      consts AS (SELECT sum(c_t) AS n, count(*) AS v FROM ct),
+      st AS (SELECT source, tok, count(*) AS c_st FROM toks GROUP BY source, tok),
+      stot AS (SELECT source, sum(c_st) AS n_s, count(*) AS v_s
+               FROM st GROUP BY source),
+      -- NAIVE full-vocab KL: every (source, vocab-token) pair, zero counts
+      -- where the source never emitted the token
+      grid AS (
+        SELECT stot.source, stot.n_s, stot.v_s, ct.tok, ct.c_t,
+               COALESCE(st.c_st, 0) AS c_st
+        FROM stot CROSS JOIN ct
+        LEFT JOIN st ON st.source = stot.source AND st.tok = ct.tok),
+      terms AS (
+        SELECT source, n_s, v_s,
+               ((c_st + 1.0) / (n_s + 1.0 * v)) *
+               (ln((c_st + 1.0) / (n_s + 1.0 * v))
+                - ln((c_t + 1.0) / (n + 1.0 * v))) AS term
+        FROM grid CROSS JOIN consts)
+      SELECT source,
+             CAST(n_s AS BIGINT) AS n_tokens,
+             CAST(v_s AS BIGINT) AS v_present,
+             round(sum(term), 9) AS kl9
+      FROM terms GROUP BY source, n_s, v_s
+    """
+
+
 def q_range_join(spark, sf_dir):
     """Binned interval join (operators/ranges.py:range_join): every
     purchase within 6 hours (inclusive) after a signup by the same user.
@@ -2632,15 +2886,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the formal CORRECTNESS artifact (which records the
     first 50 entries) accumulates green rows per query across rounds
-    (documented rotation policy, VERDICT r3/r4). Round-5 ordering:
-    this round's NEW operators (no formal row yet) first, then the 25
-    queries whose only formal row is r4, then 22 of the 23 queries that
-    sat out the r4 artifact (formal green in BOTH r2 and r3). Below the
-    cap: everything already holds >= 2 formal rows (the r4 positions
-    27-50 hold 2-3), and the FULL 84-query surface is live-checked every
-    round by scripts/check_oracle.py."""
+    (documented rotation policy, VERDICT r3/r4). Round-5 ordering: this
+    round's 12 NEW operators (no formal row yet) first, then the 25
+    queries whose only formal row is r4, then the first 13 of the
+    queries that sat out the r4 artifact (formal green in BOTH r2 and
+    r3). Below the cap: everything already holds >= 2 formal rows, and
+    the FULL 93-query surface is live-checked every round by
+    scripts/check_oracle.py."""
     return {
         # --- new this round (round 5) ---
+        "trailing_features": q_trailing_features,
+        "dsir_weights": q_dsir_weights,
+        "importance_resample": q_importance_resample,
+        "bigram_logprob": q_bigram_logprob,
+        "token_drift": q_token_drift,
         "unigram_logprob": q_unigram_logprob,
         "ngram_novelty": q_ngram_novelty,
         "source_overlap": q_source_overlap,
@@ -2688,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_doc_freqs": q_term_doc_freqs,
         "tokens_per_page": q_tokens_per_page,
         "line_chars": q_line_chars,
+        # --------------- 50-row artifact cap ---------------
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "nation_revenue": q_nation_revenue,
@@ -2697,7 +2957,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_salted": q_asof_salted,
         "asof_forward": q_asof_forward,
         "lag_delta": q_lag_delta,
-        # --------------- 50-row artifact cap ---------------
         "stopword_filter": q_stopword_filter,
         # --- two formal rows (r3+r4) ---
         "chunked_tokenlist": q_chunked_tokenlist,
@@ -3466,6 +3725,11 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "dup_span_removal": _dup_span_removal_sql(),
+        "trailing_features": _trailing_features_sql(),
+        "dsir_weights": _dsir_weights_sql(),
+        "importance_resample": _importance_resample_sql(),
+        "bigram_logprob": _bigram_logprob_sql(),
+        "token_drift": _token_drift_sql(),
         "split_by_hash": _split_by_hash_sql(),
         "shuffle_order": _shuffle_order_sql(),
         "length_bucket": _length_bucket_sql(),

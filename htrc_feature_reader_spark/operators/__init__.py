@@ -11,7 +11,7 @@ from .chunking import chunk_ends, chunk_even, chunk_last, chunked_tokenlist  # n
 from .asof import asof_join  # noqa: F401
 from .ranges import range_join  # noqa: F401
 from .windows import with_lag_lead, forward_fill, backward_fill, sessionize  # noqa: F401
-from .features import build_pit_features  # noqa: F401
+from .features import build_pit_features, trailing_window_features  # noqa: F401
 from .dedup import (  # noqa: F401
     boilerplate_fraction,
     decontaminate,
@@ -30,7 +30,7 @@ from .dedup import (  # noqa: F401
     word_shingles,
 )
 from .components import connected_components  # noqa: F401
-from .stats import corpus_stats, source_ngram_overlap, top_terms  # noqa: F401
+from .stats import corpus_stats, source_ngram_overlap, token_drift, top_terms  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_topk,
     lsh_cosine_topk,
@@ -53,4 +53,5 @@ from .packing import (  # noqa: F401
     take_per_source,
     unpack_sequences,
 )
-from .text import tf_idf, unigram_logprob  # noqa: F401
+from .text import bigram_logprob, tf_idf, unigram_logprob  # noqa: F401
+from .selection import dsir_weights, hashed_ngram_buckets, importance_resample  # noqa: F401

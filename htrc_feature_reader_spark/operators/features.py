@@ -182,3 +182,77 @@ def build_pit_features(
     if attach_payload and present_payload:
         df = with_scalars.join(df.dropDuplicates(narrow_key), on=narrow_key)
     return df
+
+
+def trailing_window_features(
+    seqs: DataFrame,
+    doc_col: str = "doc_id",
+    ts_col: str = "ts",
+    horizons_s: dict[str, float] | None = None,
+    value_col: str = "n_tok",
+    strict: bool = False,
+    payload_cols: tuple[str, ...] = ("tokens",),
+) -> DataFrame:
+    """Trailing event-time-horizon aggregates per entity — the classic
+    feature-store rollup ("events / tokens in the last hour/day as of
+    each row") that complements :func:`build_pit_features`' unbounded
+    cumulatives.
+
+    For each ``label -> seconds`` entry in ``horizons_s`` (default
+    ``{"1h": 3600, "1d": 86400}``) emits, per input row:
+
+    - ``trail_n_{label}``      — rows in the horizon (exact long)
+    - ``trail_{value}_{label}`` — sum of ``value_col`` in the horizon
+
+    Frame semantics (leakage contract, same as build_pit_features):
+    ``strict=False`` (default) uses the SQL-standard inclusive frame
+    ``[ts - horizon, ts]`` — all rows with EQUAL ts are in each other's
+    window, so results are deterministic under duplicate timestamps and
+    nothing later than the as-of instant is read. ``strict=True`` uses
+    ``[ts - horizon, ts)`` — serving-time semantics where a row must not
+    see itself or co-timestamped rows (frame upper bound is one
+    microsecond before the row's own time); empty windows yield count 0
+    and sum 0, exact int64 end-to-end.
+
+    Scale design: all horizons share ONE window spec partitioning
+    (``doc_col``, ordered by integer epoch micros), so Catalyst computes
+    every frame over a single exchange + sort — adding a horizon adds no
+    shuffle. Range frames over integer micros (never double seconds —
+    see ``ts_micros``). As in build_pit_features, the token payload
+    never rides the window sort: ``payload_cols`` are dropped before the
+    window plan and re-attached by one equi-join on the narrow row
+    (drop payload columns yourself and pass ``payload_cols=()`` for the
+    cheap narrow path).
+    """
+    if horizons_s is None:
+        horizons_s = {"1h": 3600.0, "1d": 86400.0}
+
+    present_payload = [c for c in payload_cols if c in seqs.columns]
+    df = seqs.drop(*present_payload)
+    narrow_key = df.columns
+
+    # materialize the order key once and emit every horizon in ONE select:
+    # separate withColumn calls would alias a fresh ts-micros expression per
+    # window, which Catalyst cannot prove equal across Window nodes — it
+    # re-sorts and re-exchanges (measured: 2 Exchanges for 3 horizons)
+    df = df.withColumn("__ts_us", ts_micros(ts_col))
+    hi = -1 if strict else 0
+    cols = []
+    for label, h_s in horizons_s.items():
+        h_us = int(round(float(h_s) * 1_000_000))
+        w = (
+            Window.partitionBy(doc_col)
+            .orderBy("__ts_us")
+            .rangeBetween(-h_us, hi)
+        )
+        cols.append(F.count(F.lit(1)).over(w).cast("long").alias(f"trail_n_{label}"))
+        cols.append(
+            F.coalesce(F.sum(value_col).over(w), F.lit(0))
+            .cast("long")
+            .alias(f"trail_{value_col}_{label}")
+        )
+    df = df.select("*", *cols).drop("__ts_us")
+
+    if present_payload:
+        df = seqs.join(df.dropDuplicates(narrow_key), on=narrow_key)
+    return df

@@ -177,3 +177,91 @@ def source_ngram_overlap(
             (F.col("n_shared") / F.col("n_shingles")).alias("shared_frac"),
         )
     )
+
+
+def token_drift(
+    seqs: DataFrame,
+    token_col: str = "tokens",
+    source_col: str = "source",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-source token-distribution drift monitor: smoothed
+    ``KL(p_source || p_corpus)`` over the token-id vocabulary, for
+    watching an ingest stream (is today's crawl drop distributionally
+    unlike the corpus?) and mixture design (which sources are token-level
+    outliers?). Works on the north-rule sequences shape (``tokens``
+    array<int>); pass an exploded word table via a 1-element array if
+    needed.
+
+    Distributions are add-``alpha`` smoothed over the CORPUS vocabulary V
+    (every token id seen anywhere): ``p_s(t) = (c_st + alpha) / (n_s +
+    alpha*V)``, ``p_c(t) = (c_t + alpha) / (N + alpha*V)``. Tokens the
+    source never emitted still carry mass ``p0 = alpha / (n_s +
+    alpha*V)`` each — the naive sum over them is a #sources x V cross
+    join, which this implementation avoids with a CLOSED-FORM absent-mass
+    correction:
+
+    ``KL = sum_{t in s} p_s(t) (ln p_s(t) - ln p_c(t))
+         + p0 * [ (V - V_s) ln p0 - (S_all - S_s) ]``
+
+    where ``S_all = sum over ALL t of ln p_c(t)`` (one corpus scalar) and
+    ``S_s = sum over t in s of ln p_c(t)`` (already computed in the
+    per-source pass). Exactly the full-vocabulary KL, with only
+    token-keyed aggregations.
+
+    Returns ``(source, n_tokens, v_present, kl)``.
+
+    Scale: one explode feeding two map-side-combinable counts (per
+    (source, token) and per token); the (source, token) -> token join is
+    vocabulary-keyed and therefore UNHINTED (unbounded at web scale —
+    same contract as tf_idf); the two 1-row constant funnels (N, V,
+    S_all) broadcast. Output is #sources rows.
+    """
+    toks = seqs.select(
+        F.col(source_col).alias("source"), F.explode(token_col).alias("tok")
+    )
+    ct = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    consts = ct.agg(
+        F.sum("c_t").alias("__N"), F.count(F.lit(1)).alias("__V")
+    )
+    a = float(alpha)
+    # ln p_c(t) per token, then the corpus scalar S_all (second 1-row funnel)
+    ct = ct.join(F.broadcast(consts)).withColumn(
+        "__ln_pc",
+        F.log((F.col("c_t") + a) / (F.col("__N") + a * F.col("__V"))),
+    )
+    s_all = ct.agg(F.sum("__ln_pc").alias("__S_all"))
+
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    joined = st.join(ct.select("tok", "__ln_pc"), on="tok")  # unhinted: AQE
+    totals = st.groupBy("source").agg(F.sum("c_st").alias("n_tokens"))
+    per_src = (
+        joined.join(F.broadcast(totals.select("source", "n_tokens")), on="source")
+        .join(F.broadcast(consts))
+        .withColumn(
+            "__p_s",
+            (F.col("c_st") + a) / (F.col("n_tokens") + a * F.col("__V")),
+        )
+        .groupBy("source", "n_tokens", "__V")
+        .agg(
+            F.count(F.lit(1)).alias("v_present"),
+            F.sum(
+                F.col("__p_s") * (F.log("__p_s") - F.col("__ln_pc"))
+            ).alias("__present_kl"),
+            F.sum("__ln_pc").alias("__S_s"),
+        )
+    )
+    p0 = a / (F.col("n_tokens") + a * F.col("__V"))
+    absent = p0 * (
+        (F.col("__V") - F.col("v_present")) * F.log(p0)
+        - (F.col("__S_all") - F.col("__S_s"))
+    )
+    return (
+        per_src.join(F.broadcast(s_all))  # 1-row cross join
+        .select(
+            "source",
+            "n_tokens",
+            "v_present",
+            (F.col("__present_kl") + absent).alias("kl"),
+        )
+    )

@@ -475,6 +475,106 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.9,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    oov_bits: float = 30.0,
+) -> DataFrame:
+    """Interpolated bigram language-model quality score — the next rung
+    above :func:`unigram_logprob` on the CCNet/KenLM-style perplexity
+    ladder, still exact and oracle-replayable (MLE counts, no estimated
+    backoff): per document, the mean bits of its word TRANSITIONS under
+
+    ``p(w | v) = lam * c(v w)/c(v .) + (1 - lam) * c(w)/N``
+
+    where ``c(v w)`` counts the bigram over the corpus, ``c(v .)`` counts
+    ``v`` as a transition context, and ``c(w)/N`` is the unigram MLE over
+    all token instances. The unigram interpolation floor means every
+    observed transition has p > 0 (any scoring corpus word appears in the
+    training counts when the model is self-trained).
+
+    Returns one row per input document: ``(id, n_trans, bits_per_trans)``
+    — row-preserving: docs with < 2 words score ``n_trans = 0`` with NULL
+    bits (no transitions to judge, deliberately not 0.0 — a 0 would sort
+    as "perfectly predictable").
+
+    ``model``, if given, is the frozen triple ``(bigrams, contexts,
+    unigrams)`` with schemas ``(prev, cur, c_big)``, ``(prev, c_ctx)``,
+    ``(cur, c_uni, __n)`` from a trusted corpus. By default all three are
+    trained on ``docs`` itself inside the same lazy plan.
+
+    Scale: transitions come from ONE split per doc (adjacent pairs via an
+    index transform — no self-join of positions); all three count tables
+    are unbounded-vocabulary (Heaps' law) so their joins carry NO
+    broadcast hint — AQE decides, same contract as :func:`tf_idf`; only
+    the 1-row N funnel is hinted. Every aggregation is map-side
+    combinable.
+    """
+    words = F.array_remove(F.split(F.col(text_col), " "), "")
+    idx = F.when(
+        F.size(words) >= 2, F.sequence(F.lit(0), F.size(words) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(words, i + 1).alias("prev"),
+            F.element_at(words, i + 2).alias("cur"),
+        ),
+    )
+    trans = docs.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("__p")
+    ).select("id", F.col("__p.prev").alias("prev"), F.col("__p.cur").alias("cur"))
+
+    if model is None:
+        toks = docs.select(
+            F.explode(words).alias("cur")
+        )
+        unigrams = toks.groupBy("cur").agg(F.count(F.lit(1)).alias("c_uni"))
+        n_total = toks.agg(F.count(F.lit(1)).alias("__n"))
+        unigrams = unigrams.join(F.broadcast(n_total))  # 1-row cross join
+        bigrams = trans.groupBy("prev", "cur").agg(
+            F.count(F.lit(1)).alias("c_big")
+        )
+        contexts = trans.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
+    else:
+        bigrams, contexts, unigrams = model
+
+    lam = float(lam)
+    # frozen-model OOV: a missing context/unigram row nulls its term —
+    # fold each to 0 mass, and charge oov_bits when the mix is 0 (both
+    # unseen; self-trained models never hit this — every transition's
+    # words are in their own training counts)
+    pb = F.when(
+        F.col("c_ctx").isNotNull(),
+        F.coalesce(F.col("c_big"), F.lit(0)).cast("double") / F.col("c_ctx"),
+    ).otherwise(F.lit(0.0))
+    pu = F.when(
+        F.col("c_uni").isNotNull(),
+        F.col("c_uni").cast("double") / F.col("__n"),
+    ).otherwise(F.lit(0.0))
+    p = lam * pb + (1.0 - lam) * pu
+    bits = F.when(p > 0.0, -F.log2(p)).otherwise(F.lit(float(oov_bits)))
+    scored = (
+        trans.join(bigrams, on=["prev", "cur"], how="left")  # unbounded: AQE
+        .join(contexts, on="prev", how="left")
+        .join(unigrams, on="cur", how="left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.avg(bits).alias("bits_per_trans"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(scored, on="id", how="left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_trans", F.lit(0).cast("long")).alias("n_trans"),
+        F.col("bits_per_trans"),
+    )
+
+
 def normalized_fingerprint(text) -> Column:
     """Whitespace/case-normalized MD5 — near-dup fingerprint robust to
     formatting noise."""
