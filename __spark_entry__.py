@@ -2874,6 +2874,188 @@ def _dup_span_removal_sql() -> str:
     """
 
 
+def q_char_entropy(spark, sf_dir):
+    """Per-char Shannon entropy (operators/text.py:char_entropy): the
+    cheap gibberish/boilerplate signal, computed ZERO-shuffle with
+    row-local higher-order functions (no explode into a char-instance
+    relation). The oracle takes the relational route (unnest + groupBy)
+    — two independent formulations agreeing to 1e-9."""
+    from htrc_feature_reader_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("nc"),
+        F.round("entropy_bits", 9).alias("ent9"),
+    )
+
+
+_CHAR_ENTROPY_SQL = """
+      WITH c AS (SELECT doc_id,
+                        list_filter(string_split(text,''), x -> x <> '') AS chs
+                 FROM documents),
+      ch AS (SELECT doc_id, unnest(chs) AS c FROM c),
+      cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+      nn AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1),
+      e AS (SELECT cnt.doc_id,
+                   sum(-(k*1.0/n)*log2(k*1.0/n)) AS ent
+            FROM cnt JOIN nn USING (doc_id) GROUP BY 1)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             CAST(COALESCE(nn.n, 0) AS BIGINT) AS nc,
+             round(e.ent, 9) AS ent9
+      FROM documents d LEFT JOIN nn USING (doc_id) LEFT JOIN e USING (doc_id)
+    """
+
+
+_GQ_Q = 0.35
+
+
+def q_group_quantile(spark, sf_dir):
+    """Exact per-group percentile_disc (operators/stats.py:group_quantile,
+    exact=True): smallest n_chars whose within-source cume_dist reaches q
+    — one exchange + in-group sort of the (group, value) projection only.
+    DuckDB's quantile_disc reproduces the rank definition exactly (no
+    interpolation, so no float drift)."""
+    from htrc_feature_reader_spark.operators.stats import group_quantile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = group_quantile(docs, "n_chars", "source", q=_GQ_Q)
+    return out.select("group", F.col("threshold").cast("long").alias("threshold"))
+
+
+def q_quantile_gate(spark, sf_dir):
+    """Quantile-gated filtering (operators/stats.py:
+    filter_by_group_quantile): keep each source's top (1-q) tail by
+    n_chars. The #groups-sized threshold join is deliberately UNHINTED
+    (plan-tested) — a group column is not bounded by construction (a
+    crawl has millions of domains), so AQE picks the strategy."""
+    from htrc_feature_reader_spark.operators.stats import filter_by_group_quantile
+
+    docs = _t(spark, sf_dir, "documents")
+    out = filter_by_group_quantile(docs, "n_chars", "source", q=_GQ_Q, keep="ge")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("nc"),
+        F.col("__threshold").cast("long").alias("thr"),
+    )
+
+
+def _quantile_gate_sql(keep_ge: bool = True) -> str:
+    op = ">=" if keep_ge else "<"
+    return f"""
+      WITH t AS (SELECT source, quantile_disc(n_chars, {_GQ_Q}) AS thr
+                 FROM documents GROUP BY 1)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, d.source,
+             CAST(n_chars AS BIGINT) AS nc, CAST(t.thr AS BIGINT) AS thr
+      FROM documents d JOIN t USING (source) WHERE n_chars {op} thr
+    """
+
+
+_SPG_K = 15
+_SPG_SEED = 7
+
+
+def q_sample_per_group(spark, sf_dir):
+    """Seed-pure per-group uniform sampling without replacement
+    (operators/selection.py:sample_per_group): up to k docs per lang,
+    'randomness' is the shared mix(key_hash(id)) family so the oracle
+    replays the exact draw. Plan: ONE exchange with the rank limit
+    pushed below it (WindowGroupLimit partial/final — only ~k rows per
+    group per partition move)."""
+    from htrc_feature_reader_spark.operators.selection import sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_per_group(docs, "lang", k=_SPG_K, seed=_SPG_SEED)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+def _sample_per_group_sql() -> str:
+    from htrc_feature_reader_spark.operators.packing import shuffle_key_sql
+
+    key = shuffle_key_sql("doc_id", _SPG_SEED)
+    return f"""
+      WITH r AS (SELECT doc_id, lang,
+                        row_number() OVER (PARTITION BY lang
+                          ORDER BY ({key}) DESC, doc_id DESC) AS rn
+                 FROM documents)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM r WHERE rn <= {_SPG_K}
+    """
+
+
+_NB_BUCKETS = 512
+
+
+def q_nb_classify(spark, sf_dir):
+    """Hashed-n-gram multinomial Naive Bayes (operators/classify.py:
+    nb_classify): train on the even-doc_id half's lang labels, score the
+    whole corpus — the label-propagation face. The model is DENSE
+    (n_labels x n_buckets, bounded by caller parameters, broadcast-safe
+    at any scale — the deliberate contrast with tf_idf's unbounded
+    vocabulary); training and inference are exact integer-count
+    arithmetic under log, replayed bit-for-bit by the oracle."""
+    from htrc_feature_reader_spark.operators.classify import nb_classify
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lbl", F.when(F.col("doc_id") % 2 == 0, F.col("lang"))
+    )
+    out = nb_classify(docs, label_col="lbl", n_buckets=_NB_BUCKETS)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pred",
+        F.round("logp", 9).alias("logp9"),
+        F.col("n_feats").cast("long").alias("n_feats"),
+    )
+
+
+def _nb_classify_sql() -> str:
+    from htrc_feature_reader_spark.operators.selection import ngram_buckets_sql
+
+    b = _NB_BUCKETS
+    expr = ngram_buckets_sql(n_buckets=b, ngrams=(1, 2))
+    return f"""
+      WITH d AS (SELECT doc_id, text,
+                        CASE WHEN doc_id % 2 = 0 THEN lang END AS lbl
+                 FROM documents),
+      feats AS (SELECT doc_id, unnest({expr}) AS bucket
+                FROM (SELECT doc_id,
+                             list_filter(string_split(text, ' '), w -> w <> '') AS l
+                      FROM d)),
+      lab AS (SELECT doc_id AS id, lbl AS label FROM d WHERE lbl IS NOT NULL),
+      inst AS (SELECT f.doc_id AS id, bucket, label
+               FROM feats f JOIN lab ON f.doc_id = lab.id),
+      counts AS (SELECT label, bucket, count(*) AS c_lb FROM inst GROUP BY 1, 2),
+      ltot AS (SELECT label, count(*) AS n_l FROM inst GROUP BY 1),
+      dc AS (SELECT label, count(*) AS d_l FROM lab GROUP BY 1),
+      dtot AS (SELECT sum(d_l) AS dd FROM dc),
+      grid AS (SELECT label, CAST(r.range AS INT) AS bucket
+               FROM dc CROSS JOIN range({b}) r),
+      model AS (SELECT g.label, g.bucket,
+                       ln((COALESCE(c_lb, 0) + 1.0) / (n_l + 1.0 * {b})) AS log_cond,
+                       ln(d_l * 1.0 / dd) AS log_prior
+                FROM grid g LEFT JOIN counts USING (label, bucket)
+                     JOIN ltot USING (label) JOIN dc USING (label)
+                     CROSS JOIN dtot),
+      sc AS (SELECT f.doc_id AS id, m.label, count(*) AS nf,
+                    any_value(log_prior) + sum(log_cond) AS score
+             FROM feats f JOIN model m USING (bucket) GROUP BY 1, 2),
+      best AS (SELECT id, label, score, nf,
+                      row_number() OVER (PARTITION BY id
+                        ORDER BY score DESC, label DESC) AS rn
+               FROM sc),
+      pb AS (SELECT label, log_prior
+             FROM (SELECT label, any_value(log_prior) AS log_prior
+                   FROM model GROUP BY label)
+             ORDER BY log_prior DESC, label DESC LIMIT 1)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             COALESCE(b.label, pb.label) AS pred,
+             round(COALESCE(b.score, pb.log_prior), 9) AS logp9,
+             CAST(COALESCE(b.nf, 0) AS BIGINT) AS n_feats
+      FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.id
+           CROSS JOIN pb
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -2891,10 +3073,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries whose only formal row is r4, then the first 13 of the
     queries that sat out the r4 artifact (formal green in BOTH r2 and
     r3). Below the cap: everything already holds >= 2 formal rows, and
-    the FULL 93-query surface is live-checked every round by
+    the FULL 98-query surface is live-checked every round by
     scripts/check_oracle.py."""
     return {
         # --- new this round (round 5) ---
+        "char_entropy": q_char_entropy,
+        "group_quantile": q_group_quantile,
+        "quantile_gate": q_quantile_gate,
+        "sample_per_group": q_sample_per_group,
+        "nb_classify": q_nb_classify,
         "trailing_features": q_trailing_features,
         "dsir_weights": q_dsir_weights,
         "importance_resample": q_importance_resample,
@@ -3725,6 +3912,15 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "dup_span_removal": _dup_span_removal_sql(),
+        "char_entropy": _CHAR_ENTROPY_SQL,
+        "group_quantile": f"""
+          SELECT source AS "group",
+                 CAST(quantile_disc(n_chars, {_GQ_Q}) AS BIGINT) AS threshold
+          FROM documents GROUP BY 1
+        """,
+        "quantile_gate": _quantile_gate_sql(),
+        "sample_per_group": _sample_per_group_sql(),
+        "nb_classify": _nb_classify_sql(),
         "trailing_features": _trailing_features_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "importance_resample": _importance_resample_sql(),

@@ -75,6 +75,9 @@ HEADLINE = [
     "dup_spans",
     "semantic_dedup",
     "dup_span_removal",
+    # round-5 third wave: NB corpus gating + zero-shuffle char entropy
+    "nb_classify",
+    "char_entropy",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_ROWS", "2400000"))

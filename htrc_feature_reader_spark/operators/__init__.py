@@ -30,7 +30,14 @@ from .dedup import (  # noqa: F401
     word_shingles,
 )
 from .components import connected_components  # noqa: F401
-from .stats import corpus_stats, source_ngram_overlap, token_drift, top_terms  # noqa: F401
+from .stats import (  # noqa: F401
+    corpus_stats,
+    filter_by_group_quantile,
+    group_quantile,
+    source_ngram_overlap,
+    token_drift,
+    top_terms,
+)
 from .similarity import (  # noqa: F401
     cosine_topk,
     lsh_cosine_topk,
@@ -53,5 +60,11 @@ from .packing import (  # noqa: F401
     take_per_source,
     unpack_sequences,
 )
-from .text import bigram_logprob, tf_idf, unigram_logprob  # noqa: F401
-from .selection import dsir_weights, hashed_ngram_buckets, importance_resample  # noqa: F401
+from .text import bigram_logprob, char_entropy, tf_idf, unigram_logprob  # noqa: F401
+from .selection import (  # noqa: F401
+    dsir_weights,
+    hashed_ngram_buckets,
+    importance_resample,
+    sample_per_group,
+)
+from .classify import nb_classify, nb_score, nb_train  # noqa: F401

@@ -212,3 +212,41 @@ def importance_resample(
         "gumbel_key", gumbel_key(weights, id_col, logw_col, seed)
     )
     return keyed.orderBy(F.col("gumbel_key").desc()).limit(int(k))
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Uniform random sample of up to ``k`` rows per group, WITHOUT
+    replacement, seed-pure — eval-set carving, per-domain inspection
+    samples, capped stratified subsets. The "randomness" is the shared
+    ``mix(key_hash(id))`` integer family (no ``rand()``): same seed =>
+    same sample on any cluster, any partitioning, any day, and the
+    DuckDB oracle replays the exact draw.
+
+    Groups with <= k rows are kept whole. Ties cannot occur (the sort
+    key is the id's integer hash, tie-broken by the id itself), so the
+    selection is total-order deterministic.
+
+    Scale: one window pass — exchange on ``group_col`` + in-group sort
+    of the (group, hash) projection. For the global (ungrouped) variant
+    use :func:`importance_resample` with constant weights, which
+    compiles to TakeOrderedAndProject instead of a full sort. Skewed
+    groups sort their own partition only; the output is <= k * n_groups
+    rows.
+    """
+    from pyspark.sql.window import Window
+
+    key = _mix(_key_hash(df, id_col, seed), seed)
+    w = Window.partitionBy(group_col).orderBy(
+        key.desc(), F.col(id_col).desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )

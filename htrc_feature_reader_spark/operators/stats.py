@@ -265,3 +265,80 @@ def token_drift(
             (F.col("__present_kl") + absent).alias("kl"),
         )
     )
+
+
+def group_quantile(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    q: float = 0.5,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group discrete quantile — ``percentile_disc`` semantics (the
+    smallest actual value whose cumulative distribution reaches ``q``),
+    one row per group: ``(group, threshold)``.
+
+    ``exact=True`` computes it exactly via one window pass:
+    ``cume_dist()`` over the group ordered by value, filter ``>= q``,
+    min per group — one exchange + in-group sort of the (group, value)
+    projection ONLY (never the full row). Because the returned statistic
+    is a value at a rank, ties and duplicate values are handled by
+    definition, and DuckDB's ``percentile_disc`` reproduces it exactly —
+    no interpolation, no float averaging of neighbors.
+
+    ``exact=False`` swaps the sort for ``approx_percentile`` (KLL-style
+    sketch, map-side combinable, no per-group sort) — the 100 TB default
+    when the threshold feeds a filter and +-1/accuracy rank error is
+    acceptable. Returns a real data value either way.
+    """
+    if not (0.0 < q <= 1.0):
+        raise ValueError(f"q={q} outside (0, 1]")
+    if not exact:
+        return df.groupBy(F.col(group_col).alias("group")).agg(
+            F.percentile_approx(value_col, q, accuracy).alias("threshold")
+        )
+    return (
+        df.select(F.col(group_col).alias("group"), F.col(value_col).alias("__v"))
+        .withColumn("__cd", F.cume_dist().over(
+            Window.partitionBy("group").orderBy("__v")
+        ))
+        .filter(F.col("__cd") >= float(q))
+        .groupBy("group")
+        .agg(F.min("__v").alias("threshold"))
+    )
+
+
+def filter_by_group_quantile(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    q: float = 0.5,
+    keep: str = "ge",
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Quantile-gated filtering — "keep each source's top (1-q) by
+    quality score": join each row's group to its :func:`group_quantile`
+    threshold and keep rows with ``value >= threshold`` (``keep="ge"``,
+    the top tail) or ``value < threshold`` (``keep="lt"``, the bottom
+    tail — for inspecting what a gate WOULD drop). Returns input rows
+    plus the ``__threshold`` column.
+
+    Scale: the threshold table is #groups-sized but a group column is
+    NOT bounded by construction (a crawl can have millions of domains) —
+    the join is deliberately UNHINTED, AQE picks broadcast vs shuffle
+    from the actual size (same contract as tf_idf's vocabulary join).
+    """
+    if keep not in ("ge", "lt"):
+        raise ValueError(f"keep={keep!r}; expected 'ge' or 'lt'")
+    thr = group_quantile(df, value_col, group_col, q, exact, accuracy)
+    joined = df.join(
+        thr.withColumnRenamed("group", group_col), on=group_col
+    ).withColumnRenamed("threshold", "__threshold")
+    pred = (
+        F.col(value_col) >= F.col("__threshold")
+        if keep == "ge"
+        else F.col(value_col) < F.col("__threshold")
+    )
+    return joined.filter(pred)
