@@ -3056,6 +3056,107 @@ def _nb_classify_sql() -> str:
     """
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of (operators/asof.py direction='nearest',
+    pandas merge_asof parity with ties to backward): closest 'click'
+    value in either direction onto each 'signup'. Pure Catalyst — both
+    directional fills share ONE key exchange (two sorts, no extra
+    shuffle); distances compared in exact integer micros."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    build = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(probe, build, on="user_id", ts="ts", direction="nearest")
+
+
+# DuckDB has no nearest ASOF — replay the engine's own union-window
+# formulation (same tag ordering, same integer-micros tie rule)
+_ASOF_NEAREST_SQL = """
+  WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+       b AS (SELECT user_id, ts, value AS click_value FROM events
+             WHERE event_type = 'click'),
+       u AS (SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id,
+                    click_value, 0 AS tag FROM b
+             UNION ALL
+             SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE), 1 AS tag FROM p),
+       f AS (SELECT *,
+                last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS)
+                  OVER wb AS bts,
+                last_value(CASE WHEN tag = 0 THEN click_value END IGNORE NULLS)
+                  OVER wb AS bval,
+                last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS)
+                  OVER wf AS fts,
+                last_value(CASE WHEN tag = 0 THEN click_value END IGNORE NULLS)
+                  OVER wf AS fval
+             FROM u
+             WINDOW
+               wb AS (PARTITION BY user_id ORDER BY ts ASC, tag ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY ts DESC, tag ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+  SELECT event_id, user_id, ts,
+         CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                   (epoch_us(ts) - epoch_us(bts)) <= (epoch_us(fts) - epoch_us(ts)))
+              THEN bval ELSE fval END AS click_value
+  FROM f WHERE tag = 1
+"""
+
+
+_DS_RATE_INV = 8
+_DS_SEED = 31
+
+
+def q_distinct_sampled(spark, sf_dir):
+    """Hash-threshold distinct sampling (operators/stats.py:
+    distinct_sampled, Gibbons' distinct sampler): approximate distinct
+    users per event_type with a DETERMINISTIC estimator — unlike HLL the
+    per-value keep decision is pure integer hash arithmetic, so the
+    oracle reproduces the estimate bit-exactly. The threshold test is a
+    narrow scan predicate: at 100 TB only ~1/rate_inv of the distinct
+    mass reaches the count-distinct shuffle."""
+    from htrc_feature_reader_spark.operators.stats import distinct_sampled
+
+    ev = _t(spark, sf_dir, "events")
+    return distinct_sampled(
+        ev, "user_id", group_col="event_type",
+        rate_inv=_DS_RATE_INV, seed=_DS_SEED,
+    )
+
+
+def _distinct_sampled_sql() -> str:
+    from htrc_feature_reader_spark.operators.stats import distinct_sampled_sql
+
+    return distinct_sampled_sql(
+        "user_id", group_col="event_type",
+        rate_inv=_DS_RATE_INV, seed=_DS_SEED, table="events",
+    )
+
+
+_TS_CUTOFF = "2024-01-20 00:00:00"
+_TS_EMBARGO_S = 86_400.0
+
+
+def q_temporal_split(spark, sf_dir):
+    """Leakage-free temporal carve (operators/packing.py:temporal_split):
+    train <= cutoff, test > cutoff + 1-day embargo, NULL inside the
+    embargo window — so trailing-window / as-of features up to 1 day deep
+    cannot straddle the boundary (north-rule zero-temporal-leakage
+    contract). Exact integer-micros boundaries; map-only projection."""
+    from htrc_feature_reader_spark.operators.packing import temporal_split
+
+    ev = _t(spark, sf_dir, "events")
+    out = temporal_split(ev, _TS_CUTOFF, ts_col="ts", embargo_s=_TS_EMBARGO_S)
+    return out.select("event_id", "split")
+
+
+def _temporal_split_sql() -> str:
+    from htrc_feature_reader_spark.operators.packing import temporal_split_sql
+
+    lbl = temporal_split_sql(_TS_CUTOFF, ts_col="ts", embargo_s=_TS_EMBARGO_S)
+    return f"SELECT event_id, {lbl} AS split FROM events"
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -3069,14 +3170,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the formal CORRECTNESS artifact (which records the
     first 50 entries) accumulates green rows per query across rounds
     (documented rotation policy, VERDICT r3/r4). Round-5 ordering: this
-    round's 12 NEW operators (no formal row yet) first, then the 25
-    queries whose only formal row is r4, then the first 13 of the
+    round's 15 NEW operators (no formal row yet) first, then the 25
+    queries whose only formal row is r4, then the first 10 of the
     queries that sat out the r4 artifact (formal green in BOTH r2 and
     r3). Below the cap: everything already holds >= 2 formal rows, and
-    the FULL 98-query surface is live-checked every round by
+    the FULL 101-query surface is live-checked every round by
     scripts/check_oracle.py."""
     return {
         # --- new this round (round 5) ---
+        "asof_nearest": q_asof_nearest,
+        "distinct_sampled": q_distinct_sampled,
+        "temporal_split": q_temporal_split,
         "char_entropy": q_char_entropy,
         "group_quantile": q_group_quantile,
         "quantile_gate": q_quantile_gate,
@@ -3912,6 +4016,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _dup_spans_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
         "dup_span_removal": _dup_span_removal_sql(),
+        "asof_nearest": _ASOF_NEAREST_SQL,
+        "distinct_sampled": _distinct_sampled_sql(),
+        "temporal_split": _temporal_split_sql(),
         "char_entropy": _CHAR_ENTROPY_SQL,
         "group_quantile": f"""
           SELECT source AS "group",

@@ -78,6 +78,11 @@ HEADLINE = [
     # round-5 third wave: NB corpus gating + zero-shuffle char entropy
     "nb_classify",
     "char_entropy",
+    # round-5 fourth wave: nearest as-of, hash-threshold distinct sampling,
+    # purged temporal split
+    "asof_nearest",
+    "distinct_sampled",
+    "temporal_split",
 ]
 
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_SEQ_ROWS", "2400000"))

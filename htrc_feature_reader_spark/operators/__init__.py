@@ -32,6 +32,7 @@ from .dedup import (  # noqa: F401
 from .components import connected_components  # noqa: F401
 from .stats import (  # noqa: F401
     corpus_stats,
+    distinct_sampled,
     filter_by_group_quantile,
     group_quantile,
     source_ngram_overlap,
@@ -58,6 +59,7 @@ from .packing import (  # noqa: F401
     pack_sequences,
     sample_mixture,
     take_per_source,
+    temporal_split,
     unpack_sequences,
 )
 from .text import bigram_logprob, char_entropy, tf_idf, unigram_logprob  # noqa: F401

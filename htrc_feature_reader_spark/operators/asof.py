@@ -24,9 +24,12 @@ Two physical strategies, same semantics:
   explicit eager pre-pass for callers who want one global factor.
 
 - ``merge`` (grouped-map Arrow UDF): per-key ``pandas.merge_asof``. Kept
-  for parity testing and for options Catalyst can't express cheaply
-  (nearest-direction). Per-group state is one doc's rows — small and
+  for parity testing. Per-group state is one doc's rows — small and
   balanced after the corpus-wide groupBy.
+
+``direction='nearest'`` (merge_asof parity, ties to backward) is native
+in the union strategy too: both directional fills ride the SAME key
+exchange — one extra sort per partition, no extra shuffle.
 
 Tolerance: rows whose matched build ts is further than ``tolerance``
 seconds in the past yield nulls (merge_asof semantics).
@@ -159,8 +162,8 @@ def asof_join(
     build; rename upstream on clashes) + optionally ``__matched_ts``.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     if value_cols is None:
         value_cols = [c for c in build.columns if c not in keys + [ts]]
     clash = set(value_cols) & set(probe.columns)
@@ -200,22 +203,63 @@ def asof_join(
     )
     both = b.unionByName(p)
 
-    if direction == "backward":
-        order = [F.col("__ts").asc(), F.col("__tag").asc() if allow_exact_matches else F.col("__tag").desc()]
+    tag_order = F.col("__tag").asc() if allow_exact_matches else F.col("__tag").desc()
+    if direction == "nearest":
+        # pandas merge_asof parity: evaluate BOTH directions and keep the
+        # closer match, ties to backward (pandas picks backward when
+        # left-bd <= fd-left). Both window specs share the partition keys,
+        # so the plan keeps ONE exchange — nearest costs one extra sort
+        # per partition, never an extra shuffle (plan-frozen in
+        # test_temporal.py::test_asof_nearest_single_exchange).
+        wb = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), tag_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").desc(), tag_order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        build_ts = F.when(F.col("__tag") == 0, F.col("__ts"))
+        cand = both.select(
+            "*",
+            *[F.last(c, ignorenulls=True).over(wb).alias(f"__b_{c}") for c in value_cols],
+            *[F.last(c, ignorenulls=True).over(wf).alias(f"__w_{c}") for c in value_cols],
+            F.last(build_ts, ignorenulls=True).over(wb).alias("__bts"),
+            F.last(build_ts, ignorenulls=True).over(wf).alias("__fts"),
+        ).filter(F.col("__tag") == 1)
+        # integer-micros distances: exact tie behavior on any engine
+        d_back = ts_micros(F.col("__ts")) - ts_micros(F.col("__bts"))
+        d_fwd = ts_micros(F.col("__fts")) - ts_micros(F.col("__ts"))
+        use_back = F.col("__bts").isNotNull() & (
+            F.col("__fts").isNull() | (d_back <= d_fwd)
+        )
+        filled = cand.select(
+            "*",
+            *[
+                F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__w_{c}")).alias(f"__f_{c}")
+                for c in value_cols
+            ],
+            F.when(use_back, F.col("__bts")).otherwise(F.col("__fts")).alias("__matched_ts"),
+        )
     else:
-        order = [F.col("__ts").desc(), F.col("__tag").asc() if allow_exact_matches else F.col("__tag").desc()]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = both.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols],
-        F.last(F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True)
-        .over(w)
-        .alias("__matched_ts"),
-    ).filter(F.col("__tag") == 1)
+        if direction == "backward":
+            order = [F.col("__ts").asc(), tag_order]
+        else:
+            order = [F.col("__ts").desc(), tag_order]
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = both.select(
+            "*",
+            *[F.last(c, ignorenulls=True).over(w).alias(f"__f_{c}") for c in value_cols],
+            F.last(F.when(F.col("__tag") == 0, F.col("__ts")), ignorenulls=True)
+            .over(w)
+            .alias("__matched_ts"),
+        ).filter(F.col("__tag") == 1)
 
     if tolerance_s is not None:
         # exact integer-micros tolerance: a delta of exactly tolerance_s is

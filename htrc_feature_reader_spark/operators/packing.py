@@ -829,3 +829,77 @@ def length_bucket(
     return df.withColumn(
         out_col, F.size(F.filter(arr, lambda b: b <= n)).cast("int")
     )
+
+
+def _cutoff_micros(cutoff) -> int:
+    """Parse a split cutoff (ISO string / datetime / epoch seconds) to
+    exact integer epoch microseconds — the one representation both
+    engines compare identically (double epoch-seconds has a ~0.24 us ULP
+    in the 2020s; a row AT the boundary could flip sides)."""
+    from datetime import datetime, timezone
+
+    if isinstance(cutoff, (int, float)):
+        return int(round(float(cutoff) * 1_000_000))
+    if isinstance(cutoff, str):
+        cutoff = datetime.fromisoformat(cutoff)
+    if isinstance(cutoff, datetime):
+        if cutoff.tzinfo is None:
+            cutoff = cutoff.replace(tzinfo=timezone.utc)
+        return int(cutoff.timestamp() * 1_000_000)
+    raise TypeError(f"unsupported cutoff type {type(cutoff).__name__}")
+
+
+def temporal_split(
+    df: DataFrame,
+    cutoff,
+    ts_col: str = "ts",
+    embargo_s: float = 0.0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-free TEMPORAL train/test carve (the purged/embargoed split
+    of time-series CV): rows with ``ts <= cutoff`` are ``'train'``, rows
+    with ``ts > cutoff + embargo_s`` are ``'test'``, rows INSIDE the
+    embargo window get NULL — they belong to neither side, because any
+    feature built with a trailing window or as-of lookback of up to
+    ``embargo_s`` seconds would straddle the boundary and leak test-side
+    information into training (complements :func:`split_by_hash`, which
+    carves by key and cannot protect a time axis).
+
+    All comparisons are exact integer micros (:func:`_cutoff_micros` +
+    ``ts_micros``), so boundary rows land on the same side on every
+    engine. Map-only narrow projection; a downstream
+    ``filter(split = 'train')`` folds into the scan predicate and at
+    100 TB prunes time-partitioned inputs at the file level.
+    North-rule op (BASELINE.json zero-temporal-leakage contract);
+    reference has no temporal axis.
+    """
+    from ..functions import ts_micros
+
+    cut_us = _cutoff_micros(cutoff)
+    emb_us = int(round(float(embargo_s) * 1_000_000))
+    if emb_us < 0:
+        raise ValueError(f"embargo_s={embargo_s}; expected >= 0")
+    t = ts_micros(F.col(ts_col))
+    return df.withColumn(
+        out_col,
+        F.when(t <= F.lit(cut_us), F.lit("train"))
+        .when(t > F.lit(cut_us + emb_us), F.lit("test"))
+        .otherwise(F.lit(None).cast("string")),
+    )
+
+
+def temporal_split_sql(
+    cutoff,
+    ts_col: str = "ts",
+    embargo_s: float = 0.0,
+) -> str:
+    """The :func:`temporal_split` label as one ANSI-SQL CASE expression
+    (DuckDB ``epoch_us`` = Spark ``ts_micros``), bit-exact at both
+    boundaries."""
+    cut_us = _cutoff_micros(cutoff)
+    emb_us = int(round(float(embargo_s) * 1_000_000))
+    return (
+        f"CASE WHEN epoch_us({ts_col}) <= {cut_us} THEN 'train' "
+        f"WHEN epoch_us({ts_col}) > {cut_us + emb_us} THEN 'test' "
+        f"ELSE NULL END"
+    )

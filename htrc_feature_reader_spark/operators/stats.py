@@ -342,3 +342,78 @@ def filter_by_group_quantile(
         else F.col(value_col) < F.col("__threshold")
     )
     return joined.filter(pred)
+
+
+def distinct_sampled(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    rate_inv: int = 16,
+    seed: int = 31,
+) -> DataFrame:
+    """Per-group approximate distinct count by hash-threshold distinct
+    sampling (Gibbons' distinct sampler) — the deterministic alternative
+    to HLL: count EXACTLY the distinct values whose shared decision hash
+    (:func:`~.packing._key_hash`, the sample_mixture/split family) lands
+    in the lowest ``1/rate_inv`` of the hash space, then scale by
+    ``rate_inv``.
+
+    Why not ``approx_count_distinct``: HLL sketches are
+    implementation-defined (register layout differs per engine), so the
+    estimate can't be replayed — this estimator depends only on
+    (value, seed) and integer arithmetic, so DuckDB reproduces it BIT
+    EXACTLY (:func:`distinct_sampled_sql`), it is stable across runs and
+    partitionings, and the per-value decision never changes as the
+    corpus grows (a value's hash is fixed — estimates are comparable
+    across ingest batches, which HLL merges also give but resampling
+    schemes don't).
+
+    Scale: the threshold test is one narrow predicate — at 100 TB only
+    ~1/rate_inv of the distinct mass ever reaches the count-distinct
+    shuffle; relative error ~= 1/sqrt(true_distinct / rate_inv).
+    Reference has no analog (its stats are pandas value_counts,
+    feature_reader.py).
+
+    Returns (group_col, sampled_distinct, est_distinct) — ``est`` is
+    ``sampled * rate_inv`` (exact long arithmetic).
+    """
+    from .packing import _MERSENNE, _key_hash, _mix
+
+    if rate_inv < 1:
+        raise ValueError(f"rate_inv={rate_inv}; expected >= 1")
+    # the _mix finalizer matters here: threshold membership over a SMALL
+    # consecutive-id population sees _key_hash's affine lattice (150
+    # consecutive ids can ALL miss a 1/8 threshold window); the xorshift
+    # rounds decorrelate neighbors, same as shuffle_sequences
+    h = _mix(_key_hash(df, value_col, seed), seed)
+    kept = df.filter(h < F.lit(_MERSENNE // rate_inv))
+    return kept.groupBy(group_col).agg(
+        F.count_distinct(F.col(value_col)).alias("sampled_distinct"),
+        (F.count_distinct(F.col(value_col)) * F.lit(int(rate_inv))).alias(
+            "est_distinct"
+        ),
+    )
+
+
+def distinct_sampled_sql(
+    value_col: str,
+    group_col: str = "source",
+    rate_inv: int = 16,
+    seed: int = 31,
+    table: str = "documents",
+    string_key: bool = False,
+) -> str:
+    """DuckDB replay of :func:`distinct_sampled` — same integer hash,
+    same threshold, same scaling; bit-exact including boundary values."""
+    from .packing import _MERSENNE, _mix_sql, key_hash_sql
+
+    h = _mix_sql(key_hash_sql(value_col, seed, string_key), seed)
+    return f"""
+      SELECT {group_col},
+             CAST(count(DISTINCT {value_col}) AS BIGINT) AS sampled_distinct,
+             CAST(count(DISTINCT {value_col}) * {int(rate_inv)} AS BIGINT)
+               AS est_distinct
+      FROM {table}
+      WHERE ({h}) < {_MERSENNE // int(rate_inv)}
+      GROUP BY {group_col}
+    """

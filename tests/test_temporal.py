@@ -244,3 +244,82 @@ def test_auto_salt_null_keys_match_unsalted(spark):
     b = b.sort_values(srt, na_position="first").reset_index(drop=True)
     assert len(a) == 3, "salt='auto' dropped null-key probe rows"
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_asof_nearest_matches_merge_asof(asof_frames):
+    probe, build = asof_frames
+    got = _collect_sorted(
+        asof_join(probe, build, on="key", ts="ts", direction="nearest")
+    )
+    expect = _pandas_oracle(probe, build, direction="nearest")
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+@pytest.mark.parametrize("allow_exact", [True, False])
+@pytest.mark.parametrize("tol", [None, 300.0])
+def test_asof_nearest_fuzz_parity(spark, allow_exact, tol):
+    """Randomized parity vs per-key pandas merge_asof, including exact-ts
+    collisions and keys present on only one side."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    n_p, n_b = 300, 200
+    probe = pd.DataFrame({
+        "key": rng.integers(0, 15, n_p).astype(str),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n_p), unit="s"),
+        "pid": np.arange(n_p),
+    })
+    build = pd.DataFrame({
+        "key": rng.integers(0, 18, n_b).astype(str),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, n_b), unit="s"),
+        "val": rng.normal(size=n_b),
+    })
+    # force exact-timestamp collisions on a quarter of the build rows
+    build.loc[:50, ["key", "ts"]] = probe.loc[:50, ["key", "ts"]].values
+    sp, sb = spark.createDataFrame(probe), spark.createDataFrame(build)
+    got = (
+        asof_join(sp, sb, on="key", ts="ts", direction="nearest",
+                  allow_exact_matches=allow_exact, tolerance_s=tol)
+        .toPandas().sort_values("pid").reset_index(drop=True)
+    )
+    parts = []
+    for k, g in probe.groupby("key"):
+        bg = build[build.key == k].sort_values("ts", kind="mergesort")
+        parts.append(pd.merge_asof(
+            g.sort_values("ts", kind="mergesort"), bg[["ts", "val"]], on="ts",
+            direction="nearest", allow_exact_matches=allow_exact,
+            tolerance=pd.Timedelta(seconds=tol) if tol else None,
+        ))
+    expect = pd.concat(parts).sort_values("pid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["key", "ts", "pid", "val"]], expect[["key", "ts", "pid", "val"]],
+        check_dtype=False,
+    )
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    """Equidistant build rows: pandas (and we) pick the backward one."""
+    probe = spark.createDataFrame([("a", ts(10))], "key string, ts timestamp")
+    build = spark.createDataFrame(
+        [("a", ts(5), 1.0), ("a", ts(15), 2.0)],
+        "key string, ts timestamp, val double",
+    )
+    out = asof_join(probe, build, on="key", ts="ts", direction="nearest").collect()
+    assert out[0]["val"] == 1.0
+
+
+def test_asof_nearest_single_exchange(spark):
+    """Both directional fills ride ONE key exchange — nearest costs one
+    extra sort per partition, never an extra shuffle; still pure JVM."""
+    probe = spark.createDataFrame([("a", 1)], "key string, ts long").selectExpr(
+        "key", "timestamp_micros(ts) as ts"
+    )
+    build = probe.withColumn("v", F.lit(1.0))
+    df = asof_join(probe, build, on="key", ts="ts", direction="nearest")
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert plan.count(") Exchange") == 1
+    assert plan.count(") Sort") == 2
+    for op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert op not in plan
