@@ -768,32 +768,59 @@ def char_entropy(
     single-character run).
 
     Scale: ZERO-shuffle — the whole computation is row-local Catalyst
-    higher-order functions (split -> array_distinct -> per-char count via
-    size/filter -> aggregate), a pure map over the corpus with no explode
+    higher-order functions (split -> array_sort -> ONE aggregate pass
+    over the sorted runs), a pure map over the corpus with no explode
     into a character-instance relation (which would be the naive
-    #chars-row shuffle design). Per-row cost is O(alphabet x len) string
-    compares, JVM-side. Trap pinned by test: BOTH engines split '' into
-    [''] (one empty element, size 1), not [] — so the empty artifact is
-    stripped with array_remove, or empty docs would score as legitimate
-    1-char runs.
+    #chars-row shuffle design). Per-row cost is O(len log len), JVM-side,
+    via the identity H = log2(n) - (sum over runs of k*log2 k)/n — the
+    run accumulator carries (prev char, run length, sum, n) through a
+    single fold, so the split array is materialized once per row. (The
+    first formulation — per-distinct-char recount via
+    filter/size inside the fold — was O(alphabet x len) with the split
+    re-evaluated per term, HOFs being outside codegen CSE; measured
+    14.3 s -> 1.4 s warm at sf0.1/local[32] for identical results.)
+    Trap pinned by test: BOTH engines split '' into [''] (one empty
+    element, size 1), not [] — so the empty artifact is stripped with
+    array_remove, or empty docs would score as legitimate 1-char runs.
     """
-    chars = F.array_remove(F.split(F.col(text_col), ""), "")
-    distinct = F.array_distinct(chars)
-    n = F.size(chars)
-    # sum over distinct chars of -(c/n) * log2(c/n), c = occurrences
-    ent = F.aggregate(
-        distinct,
-        F.lit(0.0),
-        lambda acc, c: acc
-        - (
-            F.size(F.filter(chars, lambda x: x == c)).cast("double") / n
-        )
-        * F.log2(
-            F.size(F.filter(chars, lambda x: x == c)).cast("double") / n
-        ),
+    chars = F.array_sort(F.array_remove(F.split(F.col(text_col), ""), ""))
+
+    def klog2k(k):
+        kd = k.cast("double")
+        return F.when(k > 0, kd * F.log2(kd)).otherwise(F.lit(0.0))
+
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0.0).alias("s"),
+        F.lit(0).cast("long").alias("n"),
     )
-    return docs.select(
+
+    def step(a, c):
+        same = c == a["prev"]
+        return F.struct(
+            c.alias("prev"),
+            F.when(same, a["cnt"] + 1).otherwise(F.lit(1).cast("long")).alias("cnt"),
+            F.when(same, a["s"]).otherwise(a["s"] + klog2k(a["cnt"])).alias("s"),
+            (a["n"] + 1).alias("n"),
+        )
+
+    def finish(a):
+        s = a["s"] + klog2k(a["cnt"])
+        nd = a["n"].cast("double")
+        return F.struct(
+            F.when(a["n"] > 0, F.log2(nd) - s / nd).alias("ent"),
+            a["n"].alias("n"),
+        )
+
+    # two-step select: the non-cheap aggregate is referenced twice below,
+    # so CollapseProject keeps the stage split and it evaluates ONCE
+    staged = docs.select(
         F.col(id_col),
-        n.cast("long").alias("n_chars"),
-        F.when(n > 0, ent).alias("entropy_bits"),
+        F.aggregate(chars, acc0, step, finish).alias("__ce"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("__ce")["n"].cast("long").alias("n_chars"),
+        F.col("__ce")["ent"].alias("entropy_bits"),
     )

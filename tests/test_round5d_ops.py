@@ -68,6 +68,30 @@ def test_distinct_sampled_duckdb_replay_bit_exact(id_frame, tmp_path):
     assert got == oracle
 
 
+def test_distinct_sampled_string_values_replay(spark, tmp_path):
+    """String value columns ride the rolling-hash key path; the SQL
+    replay (string_key=True) must agree bit-exactly."""
+    duckdb = pytest.importorskip("duckdb")
+    rows = [("g%d" % (i % 2), "tok_%d" % (i % 300)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    p = str(tmp_path / "sdf")
+    df.write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM '{p}/*.parquet'")
+    sql = distinct_sampled_sql(
+        "val", group_col="grp", rate_inv=8, seed=5, table="t", string_key=True
+    )
+    oracle = sorted(map(tuple, con.execute(sql).fetchall()))
+    got = sorted(
+        (r["grp"], r["sampled_distinct"], r["est_distinct"])
+        for r in distinct_sampled(
+            df, "val", group_col="grp", rate_inv=8, seed=5
+        ).collect()
+    )
+    assert got == oracle
+    assert all(s > 0 for _, s, _ in got)  # the sample actually caught values
+
+
 def test_distinct_sampled_rejects_bad_rate(id_frame):
     with pytest.raises(ValueError, match="rate_inv"):
         distinct_sampled(id_frame, "val", rate_inv=0)

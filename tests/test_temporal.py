@@ -246,10 +246,12 @@ def test_auto_salt_null_keys_match_unsalted(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
-def test_asof_nearest_matches_merge_asof(asof_frames):
+@pytest.mark.parametrize("strategy", ["union", "merge"])
+def test_asof_nearest_matches_merge_asof(asof_frames, strategy):
     probe, build = asof_frames
     got = _collect_sorted(
-        asof_join(probe, build, on="key", ts="ts", direction="nearest")
+        asof_join(probe, build, on="key", ts="ts", direction="nearest",
+                  strategy=strategy)
     )
     expect = _pandas_oracle(probe, build, direction="nearest")
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
