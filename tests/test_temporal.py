@@ -325,3 +325,17 @@ def test_asof_nearest_single_exchange(spark):
     assert plan.count(") Sort") == 2
     for op in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert op not in plan
+
+
+@pytest.mark.parametrize("salt", [4, "auto"])
+def test_asof_nearest_salted_matches_unsalted(asof_frames, salt):
+    """Salting replicates (never splits) the build timeline, so every
+    replica sees both directions' candidates — nearest under salt is
+    identical to unsalted."""
+    probe, build = asof_frames
+    kw = dict(on="key", ts="ts", direction="nearest")
+    if salt == "auto":
+        kw["salt_target_rows"] = 2  # force the adaptive path to salt
+    got = _collect_sorted(asof_join(probe, build, salt=salt, **kw))
+    expect = _collect_sorted(asof_join(probe, build, **kw))
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
