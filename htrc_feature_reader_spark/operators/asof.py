@@ -160,6 +160,14 @@ def asof_join(
 
     Returns probe columns + one column per build value column (named as in
     build; rename upstream on clashes) + optionally ``__matched_ts``.
+
+    Contract (union strategy): build-side VALUE cells must be non-null —
+    the probe/build discrimination inside the window rides on
+    ``last(value, ignorenulls)``, so a build row with a NULL value cell is
+    invisible to the fill and an older non-null row wins for that column
+    (``__matched_ts``, tag-driven, still reports the newer row). Encode
+    "present but unknown" upstream (sentinel or coalesce) or use
+    ``strategy='merge'``, which propagates NULLs like ``pandas.merge_asof``.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if direction not in ("backward", "forward", "nearest"):

@@ -867,7 +867,9 @@ def temporal_split(
 
     All comparisons are exact integer micros (:func:`_cutoff_micros` +
     ``ts_micros``), so boundary rows land on the same side on every
-    engine. Map-only narrow projection; a downstream
+    engine. Rows with NULL ``ts_col`` get a NULL label (unplaceable in
+    time — they belong to neither side; filter them upstream if they
+    should error instead). Map-only narrow projection; a downstream
     ``filter(split = 'train')`` folds into the scan predicate and at
     100 TB prunes time-partitioned inputs at the file level.
     North-rule op (BASELINE.json zero-temporal-leakage contract);
