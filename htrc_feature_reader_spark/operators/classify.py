@@ -76,7 +76,6 @@ def nb_train(
     counts = inst.groupBy("label", "bucket").agg(
         F.count(F.lit(1)).alias("c_lb")
     )
-    label_tot = inst.groupBy("label").agg(F.count(F.lit(1)).alias("n_l"))
     doc_counts = ids.groupBy("label").agg(F.count(F.lit(1)).alias("d_l"))
     doc_counts = doc_counts.join(
         F.broadcast(doc_counts.agg(F.sum("d_l").alias("__D")))  # 1-row funnel
@@ -88,9 +87,19 @@ def nb_train(
     )
     a = float(alpha)
     b = float(int(n_buckets))
+    # n_l (gram instances per label) via a window over the DENSE grid join
+    # instead of a second aggregation over inst: the grid holds every
+    # (label, bucket) exactly once, so sum(coalesce(c_lb, 0)) per label ==
+    # count(*) over inst exactly (integer counts). One evaluation of the
+    # expensive featurization subplan instead of two (Spark has no
+    # cross-branch common-subplan reuse), and the window runs over the
+    # bounded n_labels x n_buckets model grid — never corpus-sized.
+    from pyspark.sql.window import Window
+
+    w_lbl = Window.partitionBy("label")
     return (
         grid.join(counts, on=["label", "bucket"], how="left")
-        .join(F.broadcast(label_tot), on="label")  # n_labels rows
+        .withColumn("n_l", F.sum(F.coalesce(F.col("c_lb"), F.lit(0))).over(w_lbl))
         .join(F.broadcast(doc_counts), on="label")
         .select(
             "label",
@@ -111,6 +120,7 @@ def nb_score(
     id_col: str = "doc_id",
     n_buckets: int = 4096,
     ngrams: tuple[int, ...] = (1, 2),
+    priors: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document under a :func:`nb_train` model: one row per
     input doc — ``(id, pred, logp, n_feats)`` where ``pred`` is the
@@ -125,6 +135,13 @@ def nb_score(
     Feature-less docs (empty text) never survive the explode, so they are
     re-attached by a left join and scored on priors alone — ``pred`` is
     the max-prior label, ``logp`` its log prior, ``n_feats = 0``.
+
+    ``priors``: optional ``(label, log_prior)`` table for that fallback.
+    By default it is derived from ``model``, which re-evaluates the
+    model's whole subplan (including its training featurization) a second
+    time; callers that can produce the identical priors cheaply (e.g.
+    :func:`nb_classify`, straight from the label doc counts) pass them
+    here. Values must equal the model's ``log_prior`` bit-for-bit.
     """
     feats = hashed_ngram_buckets(docs, text_col, id_col, n_buckets, ngrams)
     scored = (
@@ -148,9 +165,11 @@ def nb_score(
     )
     # priors-only fallback for feature-less docs: a 1-row constant
     # (max over n_labels rows), broadcast by construction
+    prior_src = priors if priors is not None else model.groupBy("label").agg(
+        F.first("log_prior").alias("log_prior")
+    )
     prior_best = (
-        model.groupBy("label")
-        .agg(F.first("log_prior").alias("log_prior"))
+        prior_src
         .agg(F.max(F.struct("log_prior", "label")).alias("__pb"))
         .select(
             F.col("__pb.label").alias("__p_pred"),
@@ -182,8 +201,24 @@ def nb_classify(
     """Self-train-and-score convenience: fit on the labeled subset of
     ``docs`` (NULL labels excluded), score ALL of ``docs`` — the
     label-propagation face ("classify the unlabeled crawl from the
-    curated slice"). One lazy plan end-to-end."""
+    curated slice"). One lazy plan end-to-end.
+
+    The priors-only fallback table is built here straight from the label
+    doc counts — the identical ``ln(d_l / D)`` expression over the
+    identical integer counts as the model's ``log_prior`` (bit-equal by
+    construction), without re-evaluating the model subplan (whose counts
+    branch re-runs the training featurization) a second time."""
     model = nb_train(
         docs, label_col, text_col, id_col, n_buckets, ngrams, alpha
     )
-    return nb_score(docs, model, text_col, id_col, n_buckets, ngrams)
+    ids = docs.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("label")
+    )
+    dc = ids.groupBy("label").agg(F.count(F.lit(1)).alias("d_l"))
+    dc = dc.join(F.broadcast(dc.agg(F.sum("d_l").alias("__D"))))  # 1-row funnel
+    priors = dc.select(
+        "label", F.log(F.col("d_l") / F.col("__D")).alias("log_prior")
+    )
+    return nb_score(
+        docs, model, text_col, id_col, n_buckets, ngrams, priors=priors
+    )

@@ -69,15 +69,66 @@ def hashed_ngram_buckets(
     """One row per word-n-gram INSTANCE (not distinct — DSIR features are
     counts): ``(id, bucket)`` with ``bucket = rolling_hash(gram) %
     n_buckets``. Words are the non-empty space-separated pieces; grams
-    for every ``n`` in ``ngrams`` share one split pass."""
+    for every ``n`` in ``ngrams`` share one split pass.
+
+    Bit-identical to ``rolling_hash(concat_ws(' ', w_i..w_{i+n-1}))`` but
+    each word's characters are hashed ONCE and n-gram hashes are composed
+    from word-level ``(hash, base^len)`` pairs via
+    ``H(a||b) = (H(a)*base^len(b) + H(b)) mod p`` — the same trick as
+    ``dedup.word_shingle_ids``. For the default ``ngrams=(1, 2)`` that is
+    one char pass instead of three, and no bigram strings are ever
+    materialized (they were ~2x the corpus bytes through the explode).
+    """
+    from ..functions import ensure_min_parallelism
+
+    base, mod = 257, (1 << 31) - 1
+    docs = ensure_min_parallelism(docs)  # CPU-bound folds: spread tiny inputs
     words = F.array_remove(F.split(F.col(text_col), " "), "")
-    grams = F.concat(*[_ngram_strings(words, n) for n in ngrams])
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(grams).alias("__gram"),
-    ).select(
-        "id",
-        F.pmod(rolling_hash(F.col("__gram")), F.lit(int(n_buckets))).alias("bucket"),
+
+    def word_fold(w):
+        return F.aggregate(
+            F.split(w, ""),
+            F.struct(
+                F.lit(0).cast("long").alias("h"),
+                F.lit(1).cast("long").alias("p"),
+            ),
+            lambda acc, ch: F.struct(
+                ((acc["h"] * base + F.ascii(ch)) % mod).alias("h"),
+                ((acc["p"] * base) % mod).alias("p"),
+            ),
+        )
+
+    # materialize the word-hash array as its own projection: the n-gram
+    # compose step references it n times per element, and Catalyst would
+    # otherwise INLINE the whole per-word fold into every element_at —
+    # O(words^2) per doc (the __wh CollapseProject note in
+    # dedup._staged_shingle_exprs)
+    staged = docs.select(
+        F.col(id_col).alias("id"), F.transform(words, word_fold).alias("__wh")
+    )
+    wha = F.col("__wh")
+
+    def gram_ids(n):
+        if n == 1:
+            return F.transform(wha, lambda e: e["h"])
+
+        def compose(i):
+            h = F.element_at(wha, i + 1)["h"]
+            for j in range(1, n):
+                e = F.element_at(wha, i + 1 + j)
+                h = (h * base + 32) % mod  # the joining space (ascii 32)
+                h = (h * e["p"] + e["h"]) % mod
+            return h
+
+        idx = F.when(
+            F.size(wha) >= n, F.sequence(F.lit(0), F.size(wha) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, compose)
+
+    parts = [gram_ids(n) for n in ngrams]
+    ids = F.concat(*parts) if len(parts) > 1 else parts[0]
+    return staged.select("id", F.explode(ids).alias("__gh")).select(
+        "id", F.pmod(F.col("__gh"), F.lit(int(n_buckets))).alias("bucket")
     )
 
 
