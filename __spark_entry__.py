@@ -60,6 +60,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _shingled_doc_count(docs: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """Lazy 1-row count of docs that yield >= 1 word ``n``-shingle — a doc
+    does iff it has >= n space-split words, so this equals (bit-exactly)
+    the distinct-id count of ``word_shingle_ids(docs, n=n)`` without
+    re-running the word-hash fold (the ``n_docs`` seam on
+    ``remove_stop_shingles``)."""
+    return docs.filter(
+        F.size(F.split(F.col(text_col), " ")) >= int(n)
+    ).agg(F.count(F.lit(1)).alias("__n_docs"))
+
+
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> long token-occurrence table (doc_id, page, token, count=1).
 
@@ -573,7 +584,8 @@ def q_jaccard_pairs(spark, sf_dir):
     sh = word_shingle_ids(docs, "text", "doc_id", n=3).withColumnRenamed(
         "shingle_id", "shingle"
     )
-    sh = remove_stop_shingles(sh, max_df_frac=0.5, assume_distinct=True)
+    sh = remove_stop_shingles(sh, max_df_frac=0.5, assume_distinct=True,
+                              n_docs=_shingled_doc_count(docs, n=3))
     return jaccard_pairs(sh, threshold=0.2).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jacc"
     )
@@ -592,7 +604,8 @@ def q_minhash_lsh(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     ds = word_shingle_ids(docs, "text", "doc_id", n=3)
     ds = remove_stop_shingles(ds, max_df_frac=0.5, shingle_col="shingle_id",
-                              assume_distinct=True)
+                              assume_distinct=True,
+                              n_docs=_shingled_doc_count(docs, n=3))
     sigs = minhash_signatures(ds, n_hashes=_MH_N, seed=_MH_SEED)
     return lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
@@ -613,7 +626,8 @@ def q_dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     ds = word_shingle_ids(docs, "text", "doc_id", n=3)
     ds = remove_stop_shingles(ds, max_df_frac=0.5, shingle_col="shingle_id",
-                              assume_distinct=True)
+                              assume_distinct=True,
+                              n_docs=_shingled_doc_count(docs, n=3))
     sigs = minhash_signatures(ds, n_hashes=_MH_N, seed=_MH_SEED)
     ver = lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=2,
                               verify_threshold=0.25)

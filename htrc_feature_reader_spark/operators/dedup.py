@@ -99,11 +99,19 @@ def word_shingle_ids(
     is ``array_remove(split(w,''),'')`` so the fold over an empty word is
     the identity (h=0, pow=1), exactly as the character-level hash of the
     concatenated string sees only the two spaces.
+
+    Distinctness is ROW-LOCAL: a duplicate (id, shingle_id) pair can only
+    come from the same document when ``id_col`` is unique per row (every
+    caller here passes a primary-key doc id), so ``array_distinct`` over
+    the per-doc id array before the explode yields exactly the global
+    ``.distinct()`` set with ZERO shuffle — the (id, shingle_id) exchange
+    that used to sit under every consumer is gone. Callers feeding a
+    NON-unique id (e.g. a constant) get per-ROW distinctness only and
+    must dedup downstream themselves (``decontaminate`` does).
     """
     staged, ids = _staged_shingle_exprs(df, text_col, id_col, n, base, mod)
-    return (
-        staged.select("id", F.explode(ids).alias("shingle_id"))
-        .distinct()
+    return staged.select(
+        "id", F.explode(F.array_distinct(ids)).alias("shingle_id")
     )
 
 
@@ -149,37 +157,41 @@ def _staged_shingle_exprs(
     df = ensure_min_parallelism(df)  # CPU-bound folds: spread tiny inputs
     words = F.split(F.col(text_col), " ")
     base2 = 263  # second independent family for dual mode
-    # one char pass per word: (h, p) = (polynomial hash, base^len % mod);
-    # dual mode folds (g, q) for base2 in the same pass
+    # one char pass per word: (h, p) = (polynomial hash, base^len % mod),
+    # PACKED into one long per family — acc = h * 2^31 + p (both < 2^31-1,
+    # so the pack stays < 2^62: ANSI-safe). A packed-long accumulator
+    # avoids allocating a struct row per character in the interpreted
+    # aggregate lambda (measured ~1.5x on the fold-bound shingle stages);
+    # h/p unpack exactly via div/mod since both are non-negative. Dual
+    # mode folds the base-263 family the same way in a second packed limb.
+    lowmask = F.lit((1 << 31) - 1).cast("long")
+
+    def _hi(acc):  # h: the hash limb
+        return F.shiftright(acc, 31)
+
+    def _lo(acc):  # p: the base^len limb
+        return acc.bitwiseAND(lowmask)
+
+    def packed_step(b):
+        def step(acc, ch):
+            return F.shiftleft(
+                (_hi(acc) * b + F.ascii(ch)) % mod, 31
+            ) + (_lo(acc) * b) % mod
+
+        return step
+
+    init = F.lit(1).cast("long")  # h=0, p=1 packed
     if dual:
         def word_fold(w):
-            return F.aggregate(
-                F.array_remove(F.split(w, ""), ""),
-                F.struct(
-                    F.lit(0).cast("long").alias("h"),
-                    F.lit(1).cast("long").alias("p"),
-                    F.lit(0).cast("long").alias("g"),
-                    F.lit(1).cast("long").alias("q"),
-                ),
-                lambda acc, ch: F.struct(
-                    ((acc["h"] * base + F.ascii(ch)) % mod).alias("h"),
-                    ((acc["p"] * base) % mod).alias("p"),
-                    ((acc["g"] * base2 + F.ascii(ch)) % mod).alias("g"),
-                    ((acc["q"] * base2) % mod).alias("q"),
-                ),
+            chars = F.array_remove(F.split(w, ""), "")
+            return F.struct(
+                F.aggregate(chars, init, packed_step(base)).alias("hp"),
+                F.aggregate(chars, init, packed_step(base2)).alias("gq"),
             )
     else:
         def word_fold(w):
             return F.aggregate(
-                F.array_remove(F.split(w, ""), ""),
-                F.struct(
-                    F.lit(0).cast("long").alias("h"),
-                    F.lit(1).cast("long").alias("p"),
-                ),
-                lambda acc, ch: F.struct(
-                    ((acc["h"] * base + F.ascii(ch)) % mod).alias("h"),
-                    ((acc["p"] * base) % mod).alias("p"),
-                ),
+                F.array_remove(F.split(w, ""), ""), init, packed_step(base)
             )
 
     wh = F.transform(words, word_fold)
@@ -193,15 +205,16 @@ def _staged_shingle_exprs(
 
     def shingle_hash(i):
         first = F.element_at(wha, i + 1)
-        h = first["h"]
-        g = first["g"] if dual else None
+        h = _hi(first["hp"]) if dual else _hi(first)
+        g = _hi(first["gq"]) if dual else None
         for j in range(1, n):
             e = F.element_at(wha, i + 1 + j)
+            ehp = e["hp"] if dual else e
             h = (h * base + 32) % mod  # the joining space (ascii 32)
-            h = (h * e["p"] + e["h"]) % mod
+            h = (h * _lo(ehp) + _hi(ehp)) % mod
             if dual:
                 g = (g * base2 + 32) % mod
-                g = (g * e["q"] + e["g"]) % mod
+                g = (g * _lo(e["gq"]) + _hi(e["gq"])) % mod
         if dual:
             # pack: h < 2^31-1 so h * 2^31 + g < 2^62 — fits int64 (ANSI-safe)
             return h * F.lit(1 << 31).cast("long") + g
@@ -252,6 +265,7 @@ def remove_stop_shingles(
     id_col: str = "id",
     shingle_col: str = "shingle",
     assume_distinct: bool = False,
+    n_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Drop stop-shingles — shingles present in more than ``max_df`` docs
     (or ``max_df_frac`` of all docs) — before MinHash/LSH or Jaccard.
@@ -278,6 +292,25 @@ def remove_stop_shingles(
     max_df=5 on a web corpus stops most of the VOCABULARY — so that form
     stays unhinted and AQE picks broadcast vs shuffle from the stop set's
     actual size.
+
+    ``n_docs``: optional lazy 1-row ``__n_docs`` aggregate for the
+    fractional threshold. The default derivation (count of distinct ids
+    in ``doc_shingles``) re-evaluates the whole shingle subplan — for
+    shingle streams that is a full extra pass of the expensive word-hash
+    fold over the corpus. Callers that can state the same number from a
+    cheap predicate (a doc yields >= 1 n-shingle iff it has >= n
+    space-split words, so ``docs.filter(size(split(text, ' ')) >=
+    n).agg(count(*))`` is bit-identical) should pass it here.
+
+    Fold-once plan shape: with ``assume_distinct=True`` the input is
+    repartitioned by ``shingle_col`` FIRST and both consumers (the df
+    aggregation and the anti join's left side) hang off that single
+    exchange, which AQE's ReuseExchange materializes once — the upstream
+    fold runs one time instead of twice. The df aggregation then needs no
+    exchange of its own (partitioning already satisfied). The cost is one
+    shuffle of the narrow (id, shingle_id) pair table; the saved fold is
+    a full interpreted char pass over the corpus, which measures several
+    times the shuffle.
     """
     if max_df is None and max_df_frac is None:
         return doc_shingles
@@ -285,18 +318,21 @@ def remove_stop_shingles(
     # (doc, shingle) rows (non-deduped shingle streams) must not inflate df.
     # assume_distinct=True skips the dedup shuffle — pass it when the input
     # is already distinct per (doc, shingle) (word_shingles /
-    # word_shingle_ids both end in .distinct()), keeping the hot paths at
-    # one map-side-combinable aggregate over the shingle table.
-    pairs = doc_shingles.select(id_col, shingle_col)
-    if not assume_distinct:
-        pairs = pairs.distinct()
+    # word_shingle_ids guarantee it for unique doc ids), keeping the hot
+    # paths at one map-side-combinable aggregate over the shingle table.
+    if assume_distinct:
+        doc_shingles = doc_shingles.repartition(F.col(shingle_col))
+        pairs = doc_shingles.select(id_col, shingle_col)
+    else:
+        pairs = doc_shingles.select(id_col, shingle_col).distinct()
     counts = pairs.groupBy(shingle_col).agg(F.count(F.lit(1)).alias("__df"))
     if max_df is not None:
         stop = counts.filter(F.col("__df") > max_df).select(shingle_col)
     else:
-        n_docs = doc_shingles.select(id_col).distinct().agg(
-            F.count(F.lit(1)).alias("__n_docs")
-        )
+        if n_docs is None:
+            n_docs = doc_shingles.select(id_col).distinct().agg(
+                F.count(F.lit(1)).alias("__n_docs")
+            )
         stop = counts.join(F.broadcast(n_docs)).filter(
             F.col("__df") > F.col("__n_docs") * F.lit(float(max_df_frac))
         ).select(shingle_col)
@@ -930,9 +966,12 @@ def token_shingle_ids(
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.transform(idx, shingle_hash)).alias("shingle_id"))
-        .distinct()
+    # row-local distinct (array_distinct before the explode) — ids are
+    # unique per doc, so this equals the global .distinct() with no
+    # (id, shingle_id) shuffle; same rationale as word_shingle_ids
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.transform(idx, shingle_hash))).alias("shingle_id"),
     )
 
 

@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 
 from .components import connected_components
 from .dedup import (
-    exact_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,
     remove_stop_shingles,
@@ -123,18 +122,38 @@ def clean_corpus(
     cfg = config or CleanConfig()
     q = _quality_lang(docs, cfg, text_col)
 
-    # exact dedup: survivors are the min-id row per content digest
-    keepers = exact_duplicates(q, text_col=text_col, id_col=id_col).select(
-        F.col("keep_id").alias(id_col)
+    # exact dedup: survivors are the min-id row per content digest.
+    # Single-pass window form — row_number over (digest) ordered by id
+    # keeps exactly the min-id row per digest (ids are unique), the same
+    # survivor set as the old groupBy(digest).min(id) + semi-join but with
+    # ONE evaluation of the quality-filter subplan instead of two (the
+    # semi-join's build side re-ran every quality regex over the corpus;
+    # Spark has no cross-branch common-subplan reuse). The digest window
+    # groups are duplicate-set-sized (tiny), so the sort is as
+    # skew-bounded as the aggregate was.
+    from pyspark.sql.window import Window
+
+    from .dedup import content_digest
+
+    w_dig = Window.partitionBy(content_digest(text_col)).orderBy(id_col)
+    q = (
+        q.withColumn("__rn", F.row_number().over(w_dig))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    q = q.join(keepers, on=id_col, how="left_semi")
 
     if cfg.near_dup:
         sh = word_shingle_ids(q, text_col, id_col, n=cfg.shingle_n)
         if cfg.stop_shingle_frac is not None:
+            # n_docs from the cheap >=n-words predicate over the survivor
+            # frame — bit-identical to the distinct-id count of sh, no
+            # second evaluation of the shingle fold
+            n_docs = q.filter(
+                F.size(F.split(F.col(text_col), " ")) >= int(cfg.shingle_n)
+            ).agg(F.count(F.lit(1)).alias("__n_docs"))
             sh = remove_stop_shingles(
                 sh, max_df_frac=cfg.stop_shingle_frac, shingle_col="shingle_id",
-                assume_distinct=True,
+                assume_distinct=True, n_docs=n_docs,
             )
         sigs = minhash_signatures(sh, n_hashes=cfg.minhash_hashes)
         # never drop on bare candidacy: the signature-estimated Jaccard must

@@ -84,18 +84,21 @@ def hashed_ngram_buckets(
     base, mod = 257, (1 << 31) - 1
     docs = ensure_min_parallelism(docs)  # CPU-bound folds: spread tiny inputs
     words = F.array_remove(F.split(F.col(text_col), " "), "")
+    # (h, p) packed into one long (h * 2^31 + p, both limbs < 2^31-1 so
+    # the pack stays < 2^62) — no struct row allocated per character in
+    # the interpreted aggregate lambda; same packing as
+    # dedup._staged_shingle_exprs
+    lowmask = F.lit((1 << 31) - 1).cast("long")
+    hi = lambda acc: F.shiftright(acc, 31)  # noqa: E731
+    lo = lambda acc: acc.bitwiseAND(lowmask)  # noqa: E731
 
     def word_fold(w):
         return F.aggregate(
             F.split(w, ""),
-            F.struct(
-                F.lit(0).cast("long").alias("h"),
-                F.lit(1).cast("long").alias("p"),
-            ),
-            lambda acc, ch: F.struct(
-                ((acc["h"] * base + F.ascii(ch)) % mod).alias("h"),
-                ((acc["p"] * base) % mod).alias("p"),
-            ),
+            F.lit(1).cast("long"),  # h=0, p=1 packed
+            lambda acc, ch: F.shiftleft(
+                (hi(acc) * base + F.ascii(ch)) % mod, 31
+            ) + (lo(acc) * base) % mod,
         )
 
     # materialize the word-hash array as its own projection: the n-gram
@@ -110,14 +113,14 @@ def hashed_ngram_buckets(
 
     def gram_ids(n):
         if n == 1:
-            return F.transform(wha, lambda e: e["h"])
+            return F.transform(wha, lambda e: hi(e))
 
         def compose(i):
-            h = F.element_at(wha, i + 1)["h"]
+            h = hi(F.element_at(wha, i + 1))
             for j in range(1, n):
                 e = F.element_at(wha, i + 1 + j)
                 h = (h * base + 32) % mod  # the joining space (ascii 32)
-                h = (h * e["p"] + e["h"]) % mod
+                h = (h * lo(e) + hi(e)) % mod
             return h
 
         idx = F.when(
