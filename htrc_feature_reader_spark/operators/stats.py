@@ -161,7 +161,10 @@ def source_ngram_overlap(
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    pairs = word_shingle_ids(docs, text_col, id_col=source_col, n=n)
+    # source_col is a NON-unique shingle key (many docs share a source),
+    # so word_shingle_ids' row-local distinct only dedups within a doc —
+    # the cross-doc (source, shingle) dedup must happen here explicitly
+    pairs = word_shingle_ids(docs, text_col, id_col=source_col, n=n).distinct()
     spans = pairs.groupBy("shingle_id").agg(F.count(F.lit(1)).alias("__ns"))
     return (
         pairs.join(spans, on="shingle_id")

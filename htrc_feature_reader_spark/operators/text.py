@@ -783,6 +783,9 @@ def char_entropy(
     element, size 1), not [] — so the empty artifact is stripped with
     array_remove, or empty docs would score as legitimate 1-char runs.
     """
+    from ..functions import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(docs)  # O(len log len)/doc folds: spread
     chars = F.array_sort(F.array_remove(F.split(F.col(text_col), ""), ""))
 
     def klog2k(k):
