@@ -361,6 +361,12 @@ def semantic_dedup(
             "output/internals; rename them first (e.g. when re-running over "
             "a previously annotated frame)"
         )
+    from ..functions import ensure_min_parallelism
+
+    # tiny-input round-robin barrier (no-op at scale): one shared exchange
+    # under all three references of df (both self-join sides + the output
+    # join), so the input evaluates once — same rationale as near_dup_pairs
+    df = ensure_min_parallelism(df)
     # compute each vector's norm ONCE per row before the self-join:
     # per-pair work is then a single dot fold + one divide. Calling
     # cosine(a, b) on the joined pair folds THREE aggregates per pair
