@@ -845,7 +845,13 @@ def _cutoff_micros(cutoff) -> int:
     if isinstance(cutoff, datetime):
         if cutoff.tzinfo is None:
             cutoff = cutoff.replace(tzinfo=timezone.utc)
-        return int(cutoff.timestamp() * 1_000_000)
+        # pure integer arithmetic: timestamp() is a float with ~0.24 us
+        # ULP in the 2020s epoch range and int() truncates, so a
+        # microsecond-precision cutoff could land 1 us low (ADVICE r5)
+        from datetime import timedelta
+
+        epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+        return (cutoff - epoch) // timedelta(microseconds=1)
     raise TypeError(f"unsupported cutoff type {type(cutoff).__name__}")
 
 

@@ -282,8 +282,11 @@ def sample_per_group(
     same sample on any cluster, any partitioning, any day, and the
     DuckDB oracle replays the exact draw.
 
-    Groups with <= k rows are kept whole. Ties cannot occur (the sort
-    key is the id's integer hash, tie-broken by the id itself), so the
+    Groups with <= k rows are kept whole. PRECONDITION: ``id_col`` must
+    be unique — rows sharing an id get identical (hash, id) sort keys,
+    which would make the kept set at the k boundary depend on the
+    physical row order. With unique ids ties cannot occur (the sort key
+    is the id's integer hash, tie-broken by the id itself), so the
     selection is total-order deterministic.
 
     Scale: one window pass — exchange on ``group_col`` + in-group sort

@@ -301,8 +301,14 @@ def group_quantile(
         return df.groupBy(F.col(group_col).alias("group")).agg(
             F.percentile_approx(value_col, q, accuracy).alias("threshold")
         )
+    # NULL values are excluded BEFORE the window: cume_dist counts every
+    # partition row (NULLs sort first), so leaving them in shifts both
+    # rank and denominator and the result diverges from percentile_disc,
+    # from the exact=False path (percentile_approx ignores NULLs) and
+    # from DuckDB's quantile_disc (ADVICE r5)
     return (
         df.select(F.col(group_col).alias("group"), F.col(value_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
         .withColumn("__cd", F.cume_dist().over(
             Window.partitionBy("group").orderBy("__v")
         ))
@@ -332,6 +338,13 @@ def filter_by_group_quantile(
     NOT bounded by construction (a crawl can have millions of domains) —
     the join is deliberately UNHINTED, AQE picks broadcast vs shuffle
     from the actual size (same contract as tf_idf's vocabulary join).
+
+    NULL handling: rows with a NULL group never match the inner
+    threshold join and are dropped; rows with a NULL value satisfy
+    neither ``keep='ge'`` nor ``keep='lt'`` and are dropped by the
+    predicate — so the two ``keep`` modes partition only the
+    non-NULL-group, non-NULL-value rows, not the full input. Route NULLs
+    explicitly beforehand if a gate audit needs to account for them.
     """
     if keep not in ("ge", "lt"):
         raise ValueError(f"keep={keep!r}; expected 'ge' or 'lt'")
@@ -389,7 +402,10 @@ def distinct_sampled(
     # consecutive ids can ALL miss a 1/8 threshold window); the xorshift
     # rounds decorrelate neighbors, same as shuffle_sequences
     h = _mix(_key_hash(df, value_col, seed), seed)
-    kept = df.filter(h < F.lit(_MERSENNE // rate_inv))
+    # rate_inv == 1 is the exact-count identity: skip the threshold test
+    # entirely (h < _MERSENNE would still drop values whose mixed hash
+    # equals _MERSENNE — reachable after the xorshift finalizer; ADVICE r5)
+    kept = df if rate_inv == 1 else df.filter(h < F.lit(_MERSENNE // rate_inv))
     return kept.groupBy(group_col).agg(
         F.count_distinct(F.col(value_col)).alias("sampled_distinct"),
         (F.count_distinct(F.col(value_col)) * F.lit(int(rate_inv))).alias(

@@ -413,7 +413,10 @@ def tf_idf(
     """
     per = token_counts.groupBy(doc_col, token_col).agg(F.sum(count_col).alias("tc"))
     doc_totals = per.groupBy(doc_col).agg(F.sum("tc").alias("doc_total"))
-    dfreq = per.groupBy(token_col).agg(F.countDistinct(doc_col).alias("df"))
+    # per is unique on (doc, token) by construction, so the document
+    # frequency is a plain count — countDistinct compiled to an extra
+    # two-phase aggregation (expand + second shuffle) for the same number
+    dfreq = per.groupBy(token_col).agg(F.count(F.lit(1)).alias("df"))
     n_docs = doc_totals.agg(F.count(F.lit(1)).alias("__n_docs"))
     dfreq = dfreq.join(F.broadcast(n_docs))  # 1-row cross join: df + N
     out = (
@@ -674,8 +677,10 @@ def bm25(
         F.count(F.lit(1)).alias("__n_docs"),
         F.avg("doc_total").alias("__avgdl"),
     )
+    # per is unique on (doc, token) by construction: plain count == df
+    # (countDistinct would compile to an extra two-phase aggregation)
     dfreq = per.groupBy(token_col).agg(
-        F.countDistinct(doc_col).alias("df")
+        F.count(F.lit(1)).alias("df")
     ).join(F.broadcast(corpus))  # 1-row cross join: df + N + avgdl
     tc = F.col("tc").cast("double")
     norm = F.lit(float(k1)) * (

@@ -245,3 +245,15 @@ def test_nb_no_cartesian_and_bounded_broadcasts(spark, langs):
     assert "CartesianProduct" not in plan
     # the model join is a broadcast (bounded n_labels x n_buckets grid)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_group_quantile_exact_ignores_null_values(spark):
+    # NULLs in value_col must not shift cume_dist rank or denominator:
+    # [NULL]*8 + [10, 20] at q=0.9 -> percentile_disc gives 20 (ADVICE r5);
+    # the pre-fix exact path returned 10
+    rows = [("g", None)] * 8 + [("g", 10), ("g", 20)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    exact = group_quantile(df, "v", "g", q=0.9, exact=True).collect()
+    approx = group_quantile(df, "v", "g", q=0.9, exact=False).collect()
+    assert exact[0]["threshold"] == 20
+    assert approx[0]["threshold"] == 20

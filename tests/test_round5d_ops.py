@@ -177,3 +177,22 @@ def test_temporal_split_is_map_only(ts_frame):
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = df._jdf.queryExecution().explainString(mode)
     assert ") Exchange" not in plan
+
+
+def test_distinct_sampled_rate_inv_1_is_exact_identity(id_frame):
+    # rate_inv=1 must count every distinct value (no threshold filter:
+    # h == _MERSENNE is reachable after the xorshift finalizer and
+    # 'h < _MERSENNE' would drop it — ADVICE r5)
+    out = {
+        r["grp"]: (r["sampled_distinct"], r["est_distinct"])
+        for r in distinct_sampled(id_frame, "val", group_col="grp",
+                                  rate_inv=1, seed=31).collect()
+    }
+    # each group holds val % 400 over v ≡ grp (mod 3): exact distincts
+    exact = {
+        r["grp"]: r["d"]
+        for r in id_frame.groupBy("grp").agg(
+            F.countDistinct("val").alias("d")).collect()
+    }
+    assert {g: s for g, (s, _) in out.items()} == exact
+    assert all(s == e for (s, e) in out.values())
