@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from htrc_feature_reader_spark.functions import ensure_min_parallelism, ts_seconds
+from htrc_feature_reader_spark.functions import ts_seconds
 from htrc_feature_reader_spark.operators import (
     asof_join,
     build_pit_features,
@@ -307,9 +307,6 @@ def q_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date")
     )
-    # the driver parquet is one row group -> a 1-task scan; round-robin
-    # unlocks the cores for the decimal aggregation (no-op at scale)
-    li = ensure_min_parallelism(li)
     disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
@@ -326,7 +323,7 @@ def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: 3-way join + agg + top-10."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders")
-    li = ensure_min_parallelism(_t(spark, sf_dir, "lineitem"))
+    li = _t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -344,7 +341,7 @@ def q_nation_revenue(spark, sf_dir):
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    li = ensure_min_parallelism(_t(spark, sf_dir, "lineitem"))
+    li = _t(spark, sf_dir, "lineitem")
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

@@ -196,11 +196,6 @@ def near_dup_pairs(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("__i", "__x"),
     )
-    # the vector norm rides in the SAME aggregate as the projections (one
-    # more sum column over the one exploded pass + exchange) instead of a
-    # separate norms subtree — the exploded table and its groupBy(id)
-    # exchange are then evaluated once, and candidates carry their norms
-    # out of the banding self-join for free (two fewer joins)
     projs = ex.groupBy("id").agg(
         *[
             F.sum(
@@ -210,10 +205,7 @@ def near_dup_pairs(
             for t in range(n_tables)
             for p in range(band_bits)
             for a, b in [coeffs[t * band_bits + p]]
-        ],
-        F.sum(
-            F.col("__x").cast("double") * F.col("__x").cast("double")
-        ).alias("__sq"),
+        ]
     )
     sigs = []
     for t in range(n_tables):
@@ -224,53 +216,41 @@ def near_dup_pairs(
         sigs.append(sig)
     banded = projs.select(
         "id",
-        F.sqrt(F.col("__sq")).alias("__n"),
         F.posexplode(F.array(*sigs)).alias("band", "sig"),
     )
-    ca = banded.select(F.col("id").alias("id_a"), F.col("__n").alias("__na"),
-                       "band", "sig")
-    cb = banded.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb"),
-                       "band", "sig")
-    # __na/__nb are deterministic functions of the ids (same binary
-    # double from the one aggregate), so the distinct over four columns
-    # equals the distinct over the id pair with norms attached
+    ca = banded.select(F.col("id").alias("id_a"), "band", "sig")
+    cb = banded.select(F.col("id").alias("id_b"), "band", "sig")
     cand = (
         ca.join(cb, on=["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__na", "__nb")
+        .select("id_a", "id_b")
         .distinct()
     )
-    pre = cand.join(a_, on="id_a").join(b_, on="id_b")
-    # per-pair dot via posexplode + codegen hash-agg, NOT the interpreted
-    # aggregate/zip_with fold (~100ns per element in the expression
-    # walker — the dominant cost once candidates number 10^5+). One
-    # pair's zipped elements explode consecutively inside one task, so
-    # the map-side partial sum accumulates them in index order — the
-    # float result matches the sequential fold bit-for-bit (the same
-    # argument as the banding projections above). __nul reproduces the
-    # fold's null-poisoning on ragged/null-element pairs: any null
-    # product nulls the dot (a bare sum would silently SKIP nulls).
-    zp = (
-        F.col("__z.__ea").cast("double") * F.col("__z.__eb").cast("double")
-    ).alias("__p")
-    dots = (
-        pre.select(
-            "id_a", "id_b", "__na", "__nb",
-            F.posexplode(F.arrays_zip("__ea", "__eb")).alias("__i", "__z"),
-        )
-        .select("id_a", "id_b", "__na", "__nb", zp)
-        .groupBy("id_a", "id_b", "__na", "__nb")
-        .agg(
-            F.sum("__p").alias("__dot"),
-            F.max(F.col("__p").isNull()).alias("__nul"),
-        )
+    # norms once per VECTOR (codegen agg over the exploded table), not per
+    # pair — cosine per candidate is then a single interpreted dot fold
+    # instead of three (dot + 2 norms)
+    norms = ex.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("__x").cast("double") * F.col("__x").cast("double"))).alias("__n")
     )
-    scored = dots.select(
-        "id_a", "id_b",
-        (
-            F.when(~F.col("__nul"), F.col("__dot"))
-            / (F.col("__na") * F.col("__nb"))
-        ).alias("cos"),
+    na = norms.select(F.col("id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb"))
+    # per-pair score: one interpreted dot fold per candidate. Candidates
+    # here are banding-bounded (sum of squared bucket sizes, tuned via
+    # band_bits) — orders of magnitude fewer than semantic_dedup's
+    # within-cluster pairs — and at that volume the fold beats the
+    # explode+hash-agg codegen shape (an extra exchange + codegen stage
+    # whose compile time alone exceeds the fold on 10^3-10^4 pairs;
+    # measured both ways at sf0.1). semantic_dedup uses the codegen
+    # shape for the opposite reason; both are oracle-bit-exact.
+    scored = (
+        cand.join(a_, on="id_a")
+        .join(b_, on="id_b")
+        .join(na, on="id_a")
+        .join(nb, on="id_b")
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb"))).alias("cos"),
+        )
     )
     return scored.filter(F.round("cos", 6) >= threshold)
 
