@@ -1770,6 +1770,32 @@ _CHUNK_PAGE = 8
 _CHUNK_T = 20
 
 
+def _chunk_page_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-(doc, page) word counts for _chunk_tokens' fixed
+    positional pages: page p holds positions [(p-1)*B, p*B), so its count
+    is min(B, n_words - (p-1)*B) — bit-identical to aggregating the
+    exploded token table, with no second evaluation of the explode+fold
+    subplan (the page_counts seam on chunked_tokenlist; guide §8)."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("__n")
+    )
+    pages = F.sequence(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("__n") / F.lit(_CHUNK_PAGE)).cast("long"),
+    )
+    return staged.select(
+        "doc_id", F.explode(pages).alias("page"), "__n"
+    ).select(
+        "doc_id",
+        "page",
+        F.least(
+            F.lit(_CHUNK_PAGE).cast("long"),
+            (F.col("__n") - (F.col("page") - 1) * _CHUNK_PAGE).cast("long"),
+        ).alias("count"),
+    )
+
+
 def _chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, page, token, count) with the finer page size."""
     docs = _t(spark, sf_dir, "documents")
@@ -1826,6 +1852,7 @@ def q_chunked_tokenlist(spark, sf_dir):
     out = chunked_tokenlist(
         tl, chunk_target=_CHUNK_T, overflow_strategy="last", page_ref=True,
         doc_col="doc_id", case=True, pos=False,
+        page_counts=_chunk_page_counts(spark, sf_dir),
     )
     return out.select(
         "doc_id", "chunk", "token", F.col("count").alias("cnt"),
@@ -1843,6 +1870,7 @@ def q_chunked_tokenlist_ends(spark, sf_dir):
     out = chunked_tokenlist(
         tl, chunk_target=_CHUNK_T, overflow_strategy="ends", page_ref=True,
         doc_col="doc_id", case=True, pos=False,
+        page_counts=_chunk_page_counts(spark, sf_dir),
     )
     return out.select(
         "doc_id", "chunk", "token", F.col("count").alias("cnt"),
@@ -1859,6 +1887,7 @@ def q_chunked_tokenlist_even(spark, sf_dir):
     out = chunked_tokenlist(
         tl, chunk_target=_CHUNK_T, overflow_strategy="even", page_ref=True,
         doc_col="doc_id", case=True, pos=False,
+        page_counts=_chunk_page_counts(spark, sf_dir),
     )
     return out.select(
         "doc_id", "chunk", "token", F.col("count").alias("cnt"),

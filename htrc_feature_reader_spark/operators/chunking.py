@@ -251,6 +251,7 @@ def chunked_tokenlist(
     page_ref: bool = False,
     doc_col: str = "htid",
     broadcast_labels: bool = False,
+    page_counts: DataFrame | None = None,
     **fold_kwargs,
 ) -> DataFrame:
     """Tokenlist folded by chunk instead of page (reference
@@ -268,13 +269,29 @@ def chunked_tokenlist(
     falls back to a shuffle join otherwise. ``broadcast_labels=True``
     forces the hint for single-volume / notebook use where the caller
     knows the map fits.
+
+    ``page_counts``: optional caller-supplied ``(doc, page, count)``
+    per-page word-count table. By default it is aggregated from the fold
+    itself, which re-evaluates the whole fold subplan a second time
+    (Spark has no cross-branch common-subplan reuse, and an explicit
+    shared exchange measured slower than the duplicate fold). A caller
+    whose pages are DERIVED (e.g. fixed positional blocks, where page
+    ``p``'s count is ``min(block, n_words - (p-1)*block)`` in closed
+    form) can state the counts arithmetically and skip that second
+    evaluation entirely — the §8 "use what you know the optimizer does
+    not" move. Values must equal the fold-derived counts exactly; the
+    chunk labels are integer functions of them, so any drift changes
+    results.
     """
     fold_kwargs["pages"] = True
     fold_kwargs.setdefault("section", "all")
     tl = fold_tokenlist(df, doc_col=doc_col, **fold_kwargs)
     pagecol = _page_colname(tl)
 
-    page_counts = tl.groupBy(doc_col, pagecol).agg(F.sum("count").alias("count"))
+    if page_counts is None:
+        page_counts = tl.groupBy(doc_col, pagecol).agg(
+            F.sum("count").alias("count")
+        )
     labels = chunk_labels(
         page_counts, chunk_target, overflow_strategy, doc_col=doc_col,
         page_col=pagecol, with_bounds=page_ref,

@@ -113,3 +113,39 @@ def test_chunked_matches_driver_side(spark, tokenlist_df):
     assert len(got) == len(expected)
     for r in got:
         assert expected[(r["htid"], r["page"])] == r["chunk"]
+
+
+def test_chunked_tokenlist_page_counts_seam(spark):
+    """Caller-supplied page_counts (closed-form) must reproduce the
+    default fold-derived labels exactly — same chunks, same bounds."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(137))),
+         (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    B = 10
+    tl = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    ).select(
+        "doc_id", (F.floor(F.col("pos") / B) + 1).alias("page"),
+        "token", F.lit(1).cast("long").alias("count"),
+    )
+    staged = docs.select("doc_id", F.size(F.split("text", " ")).alias("__n"))
+    closed = staged.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1).cast("long"),
+                             F.ceil(F.col("__n") / F.lit(B)).cast("long"))).alias("page"),
+        "__n",
+    ).select(
+        "doc_id", "page",
+        F.least(F.lit(B).cast("long"),
+                (F.col("__n") - (F.col("page") - 1) * B).cast("long")).alias("count"),
+    )
+    a = chunked_tokenlist(tl, chunk_target=25, overflow_strategy="last",
+                          page_ref=True, doc_col="doc_id", case=True, pos=False)
+    b = chunked_tokenlist(tl, chunk_target=25, overflow_strategy="last",
+                          page_ref=True, doc_col="doc_id", case=True, pos=False,
+                          page_counts=closed)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
